@@ -1,0 +1,185 @@
+"""FTC fusion + decoder: the flagship dual-branch segmentation model.
+
+Two architecture generations exist in the reference (SURVEY §2.3.1):
+
+- ``variant='train'`` — task1/nets/tcct.py:944-1046: t321-t324 1x1
+  projections feed both the aux heads (all on ``filters`` channels) and the
+  polarization feats ``norm_add([y0,y1,y2])``; ``dec4`` takes skip ``x1``.
+- ``variant='infer'`` — task1/onnx/tcct_goals.py (the architecture the
+  shipped checkpoints match, 0 missing keys): aux heads act on the raw
+  skip dims, ``dec4`` takes ``c1`` (raw CNN level 0), and
+  ``feats = norm_add([x1,x2,x3,y0,y1,y2])``.
+
+Unlike the reference, the forward pass is functional: it returns
+``(pyramid_logits, feats)`` instead of stashing ``self.feats`` module
+state (which would not survive jit).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tcct_tpu.models.crosscnn import CrossResNet
+from tcct_tpu.models.layers import batchnorm, conv2d, leaky_relu
+from tcct_tpu.models.mpvit import MPViT, MPViTConfig
+from tcct_tpu.ops.resize import resize_bicubic, resize_bilinear
+
+
+class MPUpBlock(nn.Module):
+    """conv3-BN-LReLU -> 2x bilinear up (align_corners=True) -> +skip ->
+    1x1 conv (reference tcct.py:887-914)."""
+
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x1, x2=None, train: bool = False):
+        x1 = conv2d(self.out_ch, 3, 1, 1, name="prep_0")(x1)
+        x1 = batchnorm(name="prep_1")(x1, use_running_average=not train)
+        x1 = leaky_relu(x1)
+        H, W = x1.shape[1] * 2, x1.shape[2] * 2
+        x1 = resize_bilinear(x1, (H, W), align_corners=True)
+        if x2 is not None:
+            x1 = x1 + x2
+        return conv2d(self.out_ch, 1, 1, 0, name="post_0")(x1)
+
+
+def gate_fusion(x1, x2, rng=None, train: bool = False):
+    """Stochastic alpha-map gating (reference tcct.py:916-932).
+
+    Train: random low-res alpha, bicubic-upsampled, clamped to [0,1]; the
+    reference samples it on CPU per forward — here it is an explicit
+    PRNG-key op inside the jitted step.  Eval: alpha = 0.5.
+    """
+    if train and rng is not None:
+        B, H, W, C = x1.shape
+        alpha = jax.random.uniform(rng, (B, max(3, H // 32), max(3, W // 32), C))
+        alpha = resize_bicubic(alpha, (H, W), align_corners=False)
+        alpha = jnp.clip(alpha, 0.0, 1.0)
+    else:
+        alpha = 0.5
+    return x1 * alpha + x2 * (1.0 - alpha)
+
+
+def simple_fusion(x1, x2, rng=None, train: bool = False):
+    return x1 + x2
+
+
+def norm_add(xs: List[jnp.ndarray]) -> jnp.ndarray:
+    """L2-normalize each map over channels, resize to the first's spatial
+    size, average (reference tcct.py:937-942)."""
+    eps = 1e-12
+    xs = [x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps) for x in xs]
+    size = xs[0].shape[1:3]
+    xs = [resize_bilinear(x, size, align_corners=False) for x in xs]
+    return sum(xs) / len(xs)
+
+
+class FTC(nn.Module):
+    """Dual-branch fusion + U-decoder (reference tcct.py:944-1046 /
+    onnx/tcct_goals.py for the ``infer`` variant)."""
+
+    vit_cfg: MPViTConfig
+    cnn_tiny: bool = True
+    cnn_plain: bool = False
+    out_channels: int = 5
+    filters: int = 32
+    flag_gate: bool = False
+    flag_cnn: bool = True
+    flag_vit: bool = True
+    variant: str = "train"  # 'train' (nets/tcct.py) | 'infer' (onnx/tcct_*.py)
+
+    def setup(self):
+        self.base_vit = MPViT(self.vit_cfg, name="base_vit")
+        self.base_cnn = CrossResNet(tiny=self.cnn_tiny, plain=self.cnn_plain, name="base_cnn")
+        ld = self.base_cnn.layer_dims
+        ed = self.vit_cfg.embed_dims
+        for i, (e, l) in enumerate(zip((ed[1], ed[2], ed[3], ed[3]), (ld[1], ld[2], ld[3], ld[4]))):
+            setattr(self, f"tran_vit{i}_0", conv2d(l, 1, 1, 0, name=f"tran_vit{i}_0"))
+            setattr(self, f"tran_vit{i}_1", batchnorm(name=f"tran_vit{i}_1"))
+            setattr(self, f"tran_cnn{i}_0", conv2d(l, 1, 1, 0, name=f"tran_cnn{i}_0"))
+            setattr(self, f"tran_cnn{i}_1", batchnorm(name=f"tran_cnn{i}_1"))
+        self.head_0 = conv2d(ld[-1], 3, 1, 1, name="head_0")
+        self.head_1 = batchnorm(name="head_1")
+        # `fuse` exists in the reference param tree but is unused in forward
+        # (tcct.py:982) — kept for checkpoint-shape compatibility.
+        self.fuse = conv2d(self.filters, 1, 1, 0, name="fuse")
+        self.dec1 = MPUpBlock(ld[-2], name="dec1")
+        self.dec2 = MPUpBlock(ld[-3], name="dec2")
+        self.dec3 = MPUpBlock(ld[-4], name="dec3")
+        self.dec4 = MPUpBlock(self.filters, name="dec4")
+        if self.variant == "train":
+            self.t321 = conv2d(self.filters, 1, 1, 0, name="t321")
+            self.t322 = conv2d(self.filters, 1, 1, 0, name="t322")
+            self.t323 = conv2d(self.filters, 1, 1, 0, name="t323")
+            self.t324 = conv2d(self.filters, 1, 1, 0, name="t324")
+        nc = self.out_channels
+        self.aux0 = conv2d(nc, 1, 1, 0, name="aux0")
+        self.aux1 = conv2d(nc, 1, 1, 0, name="aux1")
+        self.aux2 = conv2d(nc, 1, 1, 0, name="aux2")
+        self.aux4 = conv2d(nc, 1, 1, 0, name="aux4")
+
+    def _tran(self, prefix: str, i: int, x, train: bool):
+        x = getattr(self, f"{prefix}{i}_0")(x)
+        return getattr(self, f"{prefix}{i}_1")(x, use_running_average=not train)
+
+    def __call__(self, x, train: bool = False):
+        gate = gate_fusion if self.flag_gate else simple_fusion
+        rngs = [
+            self.make_rng("gate") if (self.flag_gate and train) else None
+            for _ in range(4)
+        ]
+
+        cs = self.base_cnn(x, train)
+        c1, c2, c3, c4, c5 = cs
+        if self.flag_vit and self.flag_cnn:
+            vs = self.base_vit.forward_features(x, train)
+            x2v, x3v, x4v, x5v = vs
+            x1 = c1
+            x2 = gate(self._tran("tran_vit", 0, x2v, train), self._tran("tran_cnn", 0, c2, train), rngs[0], train)
+            x3 = gate(self._tran("tran_vit", 1, x3v, train), self._tran("tran_cnn", 1, c3, train), rngs[1], train)
+            x4 = gate(self._tran("tran_vit", 2, x4v, train), self._tran("tran_cnn", 2, c4, train), rngs[2], train)
+            x5 = gate(self._tran("tran_vit", 3, x5v, train), self._tran("tran_cnn", 3, c5, train), rngs[3], train)
+        elif self.flag_cnn:
+            # CNN-only ablation (cnnu/pnnu): the reference still *computes*
+            # the ViT branch and discards it (tcct.py:1003) — we skip it.
+            x1, x2, x3, x4, x5 = c1, c2, c3, c4, c5
+        else:
+            vs = self.base_vit.forward_features(x, train)
+            x2v, x3v, x4v, x5v = vs
+            x1 = c1
+            x2 = self._tran("tran_vit", 0, x2v, train)
+            x3 = self._tran("tran_vit", 1, x3v, train)
+            x4 = self._tran("tran_vit", 2, x4v, train)
+            x5 = self._tran("tran_vit", 3, x5v, train)
+
+        y8 = self.head_0(x5)
+        y8 = self.head_1(y8, use_running_average=not train)
+        y8 = leaky_relu(y8)
+        y4 = self.dec1(y8, x4, train)
+        y2 = self.dec2(y4, x3, train)
+        y1 = self.dec3(y2, x2, train)
+
+        size = x.shape[1:3]
+        if self.variant == "train":
+            y0 = self.dec4(y1, x1, train)
+            y0 = self.t324(x1 + y0)
+            y1p = self.t323(x2 + y1)
+            y2p = self.t322(x3 + y2)
+            y4p = self.t321(x4 + y4)
+            feats = [norm_add([y0, y1p, y2p])]
+            out0 = self.aux0(y0)
+            out1 = resize_bilinear(self.aux1(y1p), size, align_corners=False)
+            out2 = resize_bilinear(self.aux2(y2p), size, align_corners=False)
+            out4 = resize_bilinear(self.aux4(y4p), size, align_corners=False)
+        else:
+            y0 = self.dec4(y1, c1, train)
+            feats = [norm_add([x1, x2, x3, y0, y1, y2])]
+            out0 = self.aux0(y0)
+            out1 = resize_bilinear(self.aux1(y1), size, align_corners=False)
+            out2 = resize_bilinear(self.aux2(y2), size, align_corners=False)
+            out4 = resize_bilinear(self.aux4(y4), size, align_corners=False)
+        return [out0, out1, out2, out4], feats

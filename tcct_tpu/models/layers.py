@@ -1,0 +1,210 @@
+"""Shared flax building blocks (NHWC).
+
+Naming convention (load-bearing): submodule attribute names mirror the
+reference's torch attribute paths, with Sequential/ModuleList numeric
+indices merged as ``name_i`` (e.g. torch ``stem.0.conv.weight`` lives at
+flax path ``stem_0/conv/kernel``).  The torch-checkpoint importer
+(tcct_tpu/infer/importer.py) is then a mechanical rename+transpose.
+
+Parity notes vs the reference (task1/nets/tcct.py):
+- BatchNorm: eps 1e-5, torch momentum 0.1 == flax momentum 0.9.
+- Hardswish == jax.nn.hard_swish; GELU must be exact (approximate=False);
+  LeakyReLU negative_slope 0.01.
+- LayerNorm eps 1e-6 (tcct.py:427).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Activations matching torch defaults
+hardswish = jax.nn.hard_swish
+leaky_relu = lambda x: jax.nn.leaky_relu(x, negative_slope=0.01)
+gelu = lambda x: jax.nn.gelu(x, approximate=False)
+
+
+def conv_init(fan: str = "fan_out", scale: float = 2.0):
+    """He-normal over fan_out, matching torch ``normal_(0, sqrt(2/fan_out))``
+    (reference tcct.py:86-87, 549-556)."""
+    return nn.initializers.variance_scaling(scale, fan, "normal")
+
+
+trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+class Conv(nn.Module):
+    """2D conv (NHWC), torch-default bias=True unless stated."""
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: Any = "SAME"
+    groups: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = conv_init()
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=self.padding,
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            name="conv2d",
+        )(x)
+
+
+def conv2d(
+    features,
+    kernel_size=3,
+    stride=1,
+    padding=None,
+    groups=1,
+    use_bias=True,
+    name=None,
+    kernel_init=None,
+):
+    """torch-style nn.Conv2d constructor: int kernel/stride/padding,
+    explicit symmetric padding (torch semantics, not XLA SAME)."""
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size, kernel_size)
+    if padding is None:
+        padding = (kernel_size[0] // 2, kernel_size[1] // 2)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    pad = ((padding[0], padding[0]), (padding[1], padding[1]))
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    return nn.Conv(
+        features=features,
+        kernel_size=kernel_size,
+        strides=stride,
+        padding=pad,
+        feature_group_count=groups,
+        use_bias=use_bias,
+        kernel_init=kernel_init or conv_init(),
+        name=name,
+    )
+
+
+def batchnorm(name=None, bn_weight_init: float = 1.0, epsilon: float = 1e-5):
+    return nn.BatchNorm(
+        use_running_average=None,  # passed via call kwarg `use_running_average`
+        momentum=0.9,
+        epsilon=epsilon,
+        scale_init=nn.initializers.constant(bn_weight_init),
+        name=name,
+    )
+
+
+class ConvBN(nn.Module):
+    """Conv(bias=False) + BN + optional act (reference tcct.py:55-97)."""
+
+    out_ch: int
+    kernel_size: int = 1
+    stride: int = 1
+    pad: int = 0
+    groups: int = 1
+    bn_weight_init: float = 1.0
+    act: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv2d(
+            self.out_ch,
+            self.kernel_size,
+            self.stride,
+            self.pad,
+            groups=self.groups,
+            use_bias=False,
+            name="conv",
+        )(x)
+        x = batchnorm(name="bn", bn_weight_init=self.bn_weight_init)(
+            x, use_running_average=not train
+        )
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class DWConvBN(nn.Module):
+    """Depthwise + pointwise conv + BN + act (reference tcct.py:99-147)."""
+
+    out_ch: int
+    kernel_size: int = 1
+    stride: int = 1
+    act: Optional[Callable] = hardswish
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv2d(
+            self.out_ch,
+            self.kernel_size,
+            self.stride,
+            (self.kernel_size - 1) // 2,
+            groups=self.out_ch,
+            use_bias=False,
+            name="dwconv",
+        )(x)
+        x = conv2d(self.out_ch, 1, 1, 0, use_bias=False, name="pwconv")(x)
+        x = batchnorm(name="bn")(x, use_running_average=not train)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class Mlp(nn.Module):
+    """fc1 -> GELU -> fc2 (reference tcct.py:29-53; DROP_RATE==0)."""
+
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, kernel_init=trunc_normal_init, name="fc1")(x)
+        x = gelu(x)
+        x = nn.Dense(self.out, kernel_init=trunc_normal_init, name="fc2")(x)
+        return x
+
+
+class DropPath(nn.Module):
+    """Stochastic depth per-sample (timm DropPath; reference tcct.py:452)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class ResBlock(nn.Module):
+    """Conv-BN-act / depthwise / Conv-BN residual (reference tcct.py:518-572)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        y = ConvBN(self.features, act=hardswish, name="conv1")(x, train)
+        y = conv2d(self.features, 3, 1, 1, groups=self.features, use_bias=False, name="dwconv")(y)
+        y = batchnorm(name="norm")(y, use_running_average=not train)
+        y = hardswish(y)
+        y = ConvBN(self.features, name="conv2")(y, train)
+        return identity + y
+
+
+def layer_norm(name=None):
+    return nn.LayerNorm(epsilon=1e-6, name=name)

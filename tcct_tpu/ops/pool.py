@@ -1,0 +1,92 @@
+"""Pooling primitives (NHWC) with torch-exact edge semantics.
+
+Key subtlety reproduced here: the reference's active token mixer
+``MetaPool`` (reference task1/nets/tcct.py:405-415) feeds a **[B, N, C]
+token tensor** to ``nn.AvgPool2d(3, stride=1, padding=1,
+count_include_pad=False)``.  Torch interprets a 3-D input as (C, H, W), so
+the 3x3 window slides over the *(token, channel)* axes — not over 2-D
+space.  The shipped checkpoints were trained with exactly this op, so
+``metapool_tokens`` reproduces it bit-for-bit; ``metapool_spatial`` is the
+"intended" PoolFormer mixer offered as a config option.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _window_counts(shape, window, strides, padding):
+    """Number of *valid* (non-pad) elements in each pooling window."""
+    ones = np.ones(shape, np.float32)
+    counts = lax.reduce_window(
+        jnp.asarray(ones), 0.0, lax.add, window, strides, padding
+    )
+    return counts
+
+
+def avg_pool_2d(
+    x,
+    window: int = 3,
+    stride: int = 1,
+    padding: int = 1,
+    count_include_pad: bool = False,
+    spatial_axes=(1, 2),
+):
+    """AvgPool over two axes of ``x`` with torch padding semantics."""
+    h_axis, w_axis = spatial_axes
+    win = [1] * x.ndim
+    strd = [1] * x.ndim
+    pad = [(0, 0)] * x.ndim
+    win[h_axis] = win[w_axis] = window
+    strd[h_axis] = strd[w_axis] = stride
+    pad[h_axis] = pad[w_axis] = (padding, padding)
+    summed = lax.reduce_window(
+        x.astype(jnp.float32), 0.0, lax.add, tuple(win), tuple(strd), tuple(pad)
+    )
+    if count_include_pad:
+        denom = float(window * window)
+        out = summed / denom
+    else:
+        counts = _window_counts(x.shape, tuple(win), tuple(strd), tuple(pad))
+        out = summed / counts
+    return out.astype(x.dtype)
+
+
+def max_pool_2d(x, window: int = 2, stride: int | None = None, spatial_axes=(1, 2)):
+    """MaxPool with torch's default floor-mode VALID semantics
+    (reference task1/nets/tcct.py:867 ``nn.MaxPool2d(kernel_size=2)``)."""
+    stride = stride or window
+    h_axis, w_axis = spatial_axes
+    win = [1] * x.ndim
+    strd = [1] * x.ndim
+    win[h_axis] = win[w_axis] = window
+    strd[h_axis] = strd[w_axis] = stride
+    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return lax.reduce_window(
+        x, neg_inf, lax.max, tuple(win), tuple(strd), "VALID"
+    )
+
+
+def metapool_tokens(x):
+    """Reference-faithful MetaPool on a [B, N, C] token tensor.
+
+    Computes ``AvgPool2d(3, 1, pad=1, count_include_pad=False)(x) - x``
+    where the 3x3 window slides over the (N, C) axes, exactly as the
+    reference applies it (task1/nets/tcct.py:412-415 on a 3-D tensor).
+    """
+    return avg_pool_2d(x, 3, 1, 1, count_include_pad=False, spatial_axes=(1, 2)) - x
+
+
+def metapool_spatial(x, size):
+    """PoolFormer-style spatial MetaPool: tokens reshaped to (H, W) and a
+    3x3 spatial average pool applied per channel.  The mixer the reference
+    *meant* (PoolFormer) — offered as a config option, not checkpoint
+    compatible."""
+    B, N, C = x.shape
+    H, W = size
+    y = x.reshape(B, H, W, C)
+    y = avg_pool_2d(y, 3, 1, 1, count_include_pad=False, spatial_axes=(1, 2))
+    return y.reshape(B, N, C) - x

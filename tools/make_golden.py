@@ -1,0 +1,262 @@
+"""Generate golden parity fixtures from the reference PyTorch code.
+
+Runs the reference (read-only, from /root/reference) on CPU with fixed
+seeds and saves inputs/outputs to tests/golden/*.npz.  The test suite
+then asserts the JAX reimplementation matches without ever importing
+torch or the reference at test time.
+
+Usage:  python tools/make_golden.py
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+REF = "/root/reference/task1"
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
+os.makedirs(OUT, exist_ok=True)
+
+torch.manual_seed(0)
+
+
+def stub_timm():
+    """Minimal timm surface used by the reference (DropPath, trunc_normal_,
+    imagenet constants)."""
+    timm = types.ModuleType("timm")
+    data = types.ModuleType("timm.data")
+    data.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+    data.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+    models = types.ModuleType("timm.models")
+    layers = types.ModuleType("timm.models.layers")
+
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            if self.drop_prob == 0.0 or not self.training:
+                return x
+            keep = 1 - self.drop_prob
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            mask = torch.bernoulli(torch.full(shape, keep, device=x.device))
+            return x / keep * mask
+
+    layers.DropPath = DropPath
+    layers.trunc_normal_ = torch.nn.init.trunc_normal_
+    models.layers = layers
+    timm.data = data
+    timm.models = models
+    sys.modules.update(
+        {
+            "timm": timm,
+            "timm.data": data,
+            "timm.models": models,
+            "timm.models.layers": layers,
+        }
+    )
+
+
+def load_module(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def save(name, **arrs):
+    path = os.path.join(OUT, name + ".npz")
+    np.savez_compressed(path, **{k: np.asarray(v) for k, v in arrs.items()})
+    print("wrote", path, {k: tuple(np.asarray(v).shape) for k, v in arrs.items()})
+
+
+def golden_checkpoint_forward():
+    """Full-model eval parity: shipped checkpoints into the submission FTC."""
+    stub_timm()
+    ref = load_module("ref_tcct_goals", f"{REF}/onnx/tcct_goals.py")
+    for db, n_class in [("goals", 5), ("hcms", 9), ("heg", 8), ("duke", 9)]:
+        torch.manual_seed(42)
+        net = ref.stc_tt(n_class)
+        net = ref.RegNet(net, out_channels=n_class)
+        pt = torch.load(f"{REF}/onnx/tcct_{db}.pt", map_location="cpu")
+        missing, unexpected = net.load_state_dict(pt, strict=False)
+        assert not missing, f"{db}: missing keys {missing[:5]}"
+        net.eval()
+        g = torch.Generator().manual_seed(7)
+        x = torch.rand(2, 3, 64, 128, generator=g)
+        with torch.no_grad():
+            ys = net(x)
+            feats = net.base.feats
+        save(
+            f"ckpt_forward_{db}",
+            x=x.numpy(),
+            y0=ys[0].numpy(),
+            y1=ys[1].numpy(),
+            y2=ys[2].numpy(),
+            y3=ys[3].numpy(),
+            feat=feats[0].numpy(),
+        )
+
+
+def _load_ref_pkg():
+    """Load the reference leaf modules by file path (the packages'
+    __init__ imports gitignored modules and cannot be imported whole)."""
+    import importlib.machinery
+
+    pkg = types.ModuleType("refnets")
+    pkg.__path__ = [f"{REF}/nets"]
+    sys.modules.setdefault("refnets", pkg)
+    mods = {}
+    for name in ["fcs", "fcp", "reg"]:
+        full = f"refnets.{name}"
+        if full in sys.modules:
+            mods[name] = sys.modules[full]
+            continue
+        spec = importlib.util.spec_from_file_location(
+            full, f"{REF}/nets/{name}.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[full] = mod
+        spec.loader.exec_module(mod)
+        mods[name] = mod
+    return mods
+
+
+def golden_losses():
+    loss_mod = load_module("ref_loss", f"{REF}/kite/losses/loss.py")
+    miou_mod = load_module("ref_miou", f"{REF}/kite/losses/miou.py")
+    get_loss = loss_mod.get_loss
+    MDiceLoss, MIouLoss = miou_mod.MDiceLoss, miou_mod.MIouLoss
+
+    g = torch.Generator().manual_seed(3)
+    logits = torch.randn(3, 5, 16, 24, generator=g)
+    labels = torch.randint(0, 5, (3, 16, 24), generator=g)
+    onehot = torch.nn.functional.one_hot(labels, 5).permute(0, 3, 1, 2).float()
+    ml = get_loss("di")
+    loss_di = ml(logits, onehot)
+    ml_mse = get_loss("mse")
+    loss_mse = ml_mse(logits, onehot)
+    pred_oh = torch.nn.functional.one_hot(logits.argmax(1), 5).permute(0, 3, 1, 2).float()
+    save(
+        "losses_seg",
+        logits=logits.numpy(),
+        labels=labels.numpy(),
+        loss_di=loss_di.item(),
+        loss_mse=loss_mse.item(),
+        mdice_scorem=MDiceLoss.scorem(pred_oh, onehot, start_idx=1).item(),
+        miou_scorem=MIouLoss.scorem(pred_oh, onehot, start_idx=1).item(),
+        mdice_scores=np.array(MDiceLoss.scores(pred_oh, onehot)),
+    )
+
+
+def golden_binpool():
+    fcs_mod = _load_ref_pkg()["fcs"]
+    points_selection_bins = fcs_mod.points_selection_bins
+    FeatConSuper = fcs_mod.FeatConSuper
+
+    g = torch.Generator().manual_seed(5)
+    P, L = 4096, 32
+    feat = torch.randn(P, L, generator=g)
+    prob = torch.rand(P, generator=g)
+    true = (torch.rand(P, generator=g) > 0.6).float()
+    f = points_selection_bins(feat, prob, true)
+    fcs = FeatConSuper()
+    q = torch.randn(32, 16, generator=g)
+    k = torch.randn(32, 16, generator=g)
+    save(
+        "binpool",
+        feat=feat.numpy(),
+        prob=prob.numpy(),
+        true=true.numpy(),
+        bins_out=f.numpy(),
+        cos_q=q.numpy(),
+        cos_k=k.numpy(),
+        cos_loss=fcs.cosinesim(q, k).item(),
+    )
+
+
+def golden_regular_losses():
+    """Deterministic regular_reg / regular_udh goldens: torch.rand* pinned
+    to 0.5 so the stochastic pieces are reproducible cross-framework."""
+    stub_timm()
+    regmod = _load_ref_pkg()["reg"]
+
+    torch.manual_seed(11)
+    base = regmod.BaseNet(out_channels=5, num_emb=32)
+    net = regmod.RegNet(base, out_channels=5, con="cos")
+    net.eval()
+
+    real_rand_like = torch.rand_like
+
+    def fixed_rand_like(t, **kw):
+        return torch.full_like(t, 0.5)
+
+    g = torch.Generator().manual_seed(13)
+    x = torch.rand(2, 3, 32, 48, generator=g)
+    pred = torch.randn(2, 5, 32, 48, generator=g)
+    labels = torch.randint(0, 5, (2, 32, 48), generator=g)
+    true = torch.nn.functional.one_hot(labels, 5).permute(0, 3, 1, 2).float()
+
+    with torch.no_grad():
+        _ = net(x)
+        torch.rand_like = fixed_rand_like
+        try:
+            los_reg = net.regular_reg(pred, true)
+        finally:
+            torch.rand_like = real_rand_like
+        los_udh = net.regular_udh(pred, true)
+
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    feat = base.feat.numpy()
+    np.savez_compressed(
+        os.path.join(OUT, "regnet_losses.npz"),
+        x=x.numpy(),
+        pred=pred.numpy(),
+        true=true.numpy(),
+        feat=feat,
+        los_reg=los_reg.item(),
+        los_udh=los_udh.item(),
+        fcp_buf=sd["fcp.buf_grad"],
+        **{f"w::{k}": v for k, v in sd.items() if k.startswith(("lap_reg", "lap_map", "lap_epl", "tau"))},
+    )
+    print("wrote regnet_losses.npz  los_reg=%.6f los_udh=%.6f" % (los_reg.item(), los_udh.item()))
+
+
+def golden_ops():
+    g = torch.Generator().manual_seed(17)
+    x = torch.randn(2, 7, 9, 5, generator=g)  # [B,H,W,C] stored; torch wants NCHW
+    xt = x.permute(0, 3, 1, 2)
+    import torch.nn.functional as F
+
+    up_t = F.interpolate(xt, size=(14, 18), mode="bilinear", align_corners=True)
+    up_f = F.interpolate(xt, size=(13, 20), mode="bilinear", align_corners=False)
+    dn_f = F.interpolate(xt, size=(4, 5), mode="bilinear", align_corners=False)
+    cub = F.interpolate(xt, size=(21, 27), mode="bicubic", align_corners=False)
+    tok = torch.randn(2, 50, 24, generator=g)
+    pool = nn.AvgPool2d(3, stride=1, padding=1, count_include_pad=False)
+    meta = pool(tok) - tok
+    save(
+        "ops",
+        x=x.numpy(),
+        up_t=up_t.permute(0, 2, 3, 1).numpy(),
+        up_f=up_f.permute(0, 2, 3, 1).numpy(),
+        dn_f=dn_f.permute(0, 2, 3, 1).numpy(),
+        cub=cub.permute(0, 2, 3, 1).numpy(),
+        tok=tok.numpy(),
+        meta=meta.numpy(),
+    )
+
+
+if __name__ == "__main__":
+    golden_ops()
+    golden_losses()
+    golden_binpool()
+    golden_regular_losses()
+    golden_checkpoint_forward()
+    print("done")
