@@ -1,0 +1,120 @@
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+Metric: GOALS stc_tt inference throughput, bs=8 at 3x256x256 (the train
+crop resolution, reference task1/data/octgen.py:8).  Baseline: the
+reference PyTorch implementation measured on this host's CPU at
+1.10 B-scans/s for the identical config (BASELINE.md, [measured]).
+
+Extra context (train-step throughput, compile times) goes to stderr so
+stdout stays a single JSON line.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_BSCANS_PER_SEC = 1.10  # reference torch-CPU, bs=8 3x256x256
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_inference(bs=8, hw=(256, 256), iters=30):
+    """Chained-dependency timing: each call's input depends on the previous
+    call's output, so every iteration is a real sequential execution (the
+    axon relay dedups independent identical calls, which reads 50-100x
+    faster than physics allows — measured and rejected)."""
+    from tcct_tpu.models import RegNet, get_model
+
+    n_class = 5
+    net = RegNet(base=get_model("stc_tt", n_class, variant="infer"), out_channels=n_class)
+    x = jnp.ones((bs, hw[0], hw[1], 3), jnp.float32)
+    t0 = time.time()
+    variables = jax.jit(
+        lambda: net.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    )()
+    jax.block_until_ready(variables)
+    log(f"init: {time.time()-t0:.1f}s")
+
+    def step(x):
+        pyr, _ = net.apply(variables, x, train=False)
+        return x + jnp.mean(pyr[0]) * 1e-12, pyr[0]
+
+    chained = jax.jit(step)
+    t0 = time.time()
+    y, logits = chained(x)
+    jax.block_until_ready(y)
+    log(f"forward compile+first: {time.time()-t0:.1f}s")
+    y, _ = chained(y)
+    jax.block_until_ready(y)
+    t0 = time.time()
+    for _ in range(iters):
+        y, logits = chained(y)
+    jax.block_until_ready(y)
+    dt = (time.time() - t0) / iters
+    return bs / dt, dt
+
+
+def bench_train(bs=8, hw=(256, 256), iters=20):
+    import numpy as np
+
+    from tcct_tpu.models import RegNet, get_model
+    from tcct_tpu.train import TrainConfig, build_train_step
+    from tcct_tpu.train.state import create_train_state, make_optimizer
+
+    n_class = 5
+    model = RegNet(base=get_model("stc_tt", n_class), out_channels=n_class)
+    cfg = TrainConfig(n_class=n_class, crop_hw=hw, ds=True)
+    opt = make_optimizer(steps_per_epoch=100)
+    state = create_train_state(
+        model,
+        opt,
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, hw[0], hw[1], 3)),
+        jnp.zeros((1, hw[0], hw[1], n_class)),
+    )
+    step = build_train_step(model, opt, cfg)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 255, (bs, 300, 512, 3), dtype=np.uint8))
+    labs = jnp.asarray(rng.integers(0, n_class, (bs, 300, 512)).astype(np.uint8))
+    t0 = time.time()
+    state, m = step(state, imgs, labs)
+    jax.block_until_ready(m["total"])
+    log(f"train step compile+first: {time.time()-t0:.1f}s")
+    state, m = step(state, imgs, labs)
+    jax.block_until_ready(m["total"])
+    t0 = time.time()
+    for _ in range(iters):
+        state, m = step(state, imgs, labs)
+    jax.block_until_ready(m["total"])
+    dt = (time.time() - t0) / iters
+    return bs / dt, dt
+
+
+def main():
+    log(f"devices: {jax.devices()}")
+    infer_tput, infer_dt = bench_inference()
+    log(f"inference bs=8 256^2: {infer_dt*1e3:.2f} ms/step = {infer_tput:.1f} B-scans/s")
+    try:
+        train_tput, train_dt = bench_train()
+        log(f"train (aug+DS-dice+AdamW) bs=8 256^2: {train_dt*1e3:.2f} ms/step = {train_tput:.1f} B-scans/s")
+    except Exception as e:  # train bench is context, not the headline
+        log(f"train bench failed: {e!r}")
+    print(
+        json.dumps(
+            {
+                "metric": "goals_stc_tt_infer_bs8_256x256_bscans_per_sec",
+                "value": round(infer_tput, 2),
+                "unit": "B-scans/s",
+                "vs_baseline": round(infer_tput / BASELINE_BSCANS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

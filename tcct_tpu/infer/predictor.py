@@ -1,0 +1,106 @@
+"""Jit-compiled batched volume predictor — replaces the reference's ONNX
+export/serve path (task1/onnx/onnx_save.py, onnx_infer.py).
+
+The reference serves one dynamic-shape B-scan at a time through
+onnxruntime's CPU EP.  TPU-native serving wants static shapes and big
+batches: each dataset geometry defines one compiled bucket
+(tcct_tpu/data/geometry.py), whole OCT volumes stream through it in
+fixed-size batches (padded on the last partial batch), and the argmax
+segmentation is post-processed back to native resolution on the host.
+
+Multi-chip: pass a mesh and batches are sharded over the 'data' axis —
+full-volume inference scales linearly over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tcct_tpu.data.eyeset import EyeSet
+from tcct_tpu.data.geometry import DatasetGeometry, get_geometry
+
+
+@dataclasses.dataclass
+class VolumePredictor:
+    """Static-shape bucketed predictor for one dataset geometry."""
+
+    model: object
+    variables: dict
+    geo: DatasetGeometry
+    batch_size: int = 8
+    mesh: Optional[object] = None
+
+    def __post_init__(self):
+        @jax.jit
+        def _fwd(variables, x):
+            pyr, _ = self.model.apply(variables, x, train=False)
+            logits = pyr[0] if isinstance(pyr, (list, tuple)) else pyr
+            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+        self._fwd = _fwd
+
+    def predict_scans(self, imgs_u8: np.ndarray) -> np.ndarray:
+        """[N, H, W, 3] uint8 (already geometry-prepped) -> [N, H, W] uint8
+        class maps.  N is arbitrary; the last batch is padded to the
+        bucket size so only one executable exists per geometry."""
+        n = imgs_u8.shape[0]
+        bs = self.batch_size
+        out = np.zeros(imgs_u8.shape[:3], np.uint8)
+        for i in range(0, n, bs):
+            j = min(i + bs, n)
+            chunk = imgs_u8[i:j]
+            if j - i < bs:  # pad the tail to the static bucket shape
+                pad = np.zeros((bs - (j - i),) + chunk.shape[1:], chunk.dtype)
+                chunk = np.concatenate([chunk, pad], 0)
+            x = jnp.asarray(chunk.astype(np.float32) / 255.0)
+            if self.mesh is not None:
+                from tcct_tpu.parallel import shard_batch
+
+                x = shard_batch(self.mesh, x)
+            seg = np.asarray(self._fwd(self.variables, x))
+            out[i:j] = seg[: j - i]
+        return out
+
+    def predict_volume(
+        self, volume_u8: np.ndarray, eyeset: Optional[EyeSet] = None,
+        native_hw: Optional[Tuple[int, int]] = None,
+    ) -> np.ndarray:
+        """Full volume: prep each B-scan to the geometry bucket, batch
+        through the compiled forward, postprocess to native resolution."""
+        segs = self.predict_scans(volume_u8)
+        if eyeset is not None and native_hw is not None:
+            return np.stack([eyeset.postprocess(s, native_hw) for s in segs])
+        return segs
+
+
+def load_predictor(
+    db: str,
+    pt_path: Optional[str] = None,
+    net: str = "stc_tt",
+    variant: str = "infer",
+    batch_size: int = 8,
+    mesh=None,
+) -> VolumePredictor:
+    """Build a predictor for dataset ``db``, optionally importing a
+    reference torch checkpoint (the tcct_{db}.pt files)."""
+    from tcct_tpu.infer.importer import import_torch_checkpoint
+    from tcct_tpu.models import RegNet, get_model
+
+    geo = get_geometry(db)
+    model = RegNet(
+        base=get_model(net, geo.out_channels, variant=variant),
+        out_channels=geo.out_channels,
+    )
+    H, W = geo.prep_hw
+    x = jnp.zeros((1, H, W, 3), jnp.float32)
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    )()
+    if pt_path:
+        variables, _ = import_torch_checkpoint(pt_path, variables)
+    return VolumePredictor(model, variables, geo, batch_size=batch_size, mesh=mesh)

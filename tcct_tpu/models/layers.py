@@ -208,3 +208,29 @@ class ResBlock(nn.Module):
 
 def layer_norm(name=None):
     return nn.LayerNorm(epsilon=1e-6, name=name)
+
+
+class ShiftConv3x3(nn.Module):
+    """3x3 depthwise conv as 9 shifted multiply-adds.
+
+    For tiny channel counts (the RegNet lap heads are 1-4 channels) a real
+    conv op wastes the MXU and — worse — its filter-backprop trips an XLA
+    TPU space_to_batch_converter compiler bug (observed: 'Operands to
+    select must be the same shape' CHECK-crash).  Nine shifted elementwise
+    FMAs lower to pure VPU code, fuse with their neighbours, and have a
+    trivial backward.  Param shapes match ``nn.Conv`` (kernel (3,3,1,C),
+    bias (C,)) so the torch importer needs no special case."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", conv_init(), (3, 3, 1, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        B, H, W, C = x.shape
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        y = b.reshape(1, 1, 1, -1).astype(x.dtype) * jnp.ones_like(x)
+        for i in range(3):
+            for j in range(3):
+                y = y + xp[:, i : i + H, j : j + W, :] * k[i, j, 0]
+        return y

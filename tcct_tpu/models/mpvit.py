@@ -100,6 +100,22 @@ def dpr_schedule(drop_path_rate: float, num_layers: Sequence[int]) -> List[List[
     return out
 
 
+def _fit_crpe_window(window, num_heads: int):
+    """Rescale a {win: head_split} table so splits sum to num_heads."""
+    total = sum(hs for _, hs in window)
+    if total == num_heads:
+        return window
+    raw = [(w, hs * num_heads / total) for w, hs in window]
+    out = [(w, max(int(f), 0)) for w, f in raw]
+    # distribute the remainder to the entries with the largest fractional part
+    rem = num_heads - sum(hs for _, hs in out)
+    order = sorted(range(len(raw)), key=lambda i: raw[i][1] - int(raw[i][1]), reverse=True)
+    out = [list(x) for x in out]
+    for i in range(rem):
+        out[order[i % len(out)]][1] += 1
+    return tuple((w, hs) for w, hs in out if hs > 0)
+
+
 class ConvPosEnc(nn.Module):
     """Depthwise 3x3 conv positional encoding + residual, on tokens
     (reference tcct.py:197-217)."""
@@ -260,9 +276,15 @@ class MHCAEncoder(nn.Module):
         self.cpe = ConvPosEnc(self.dim, k=3, name="cpe")
         # CRPE params always exist (checkpoint compatibility) even when the
         # metapool mixer never applies them — mirrors the reference module
-        # tree (tcct.py:492-494).
+        # tree (tcct.py:492-494).  When factor/hydra is actually *enabled*,
+        # the reference table {3:2,5:3,7:3} (8 heads) conflicts with tiny's
+        # 4 heads — it would crash in the reference too (latent bug) — so
+        # the split is refit proportionally to num_heads.
+        window = self.crpe_window
+        if self.mixer in ("factor", "hydra"):
+            window = _fit_crpe_window(window, self.num_heads)
         self.crpe = ConvRelPosEnc(
-            self.dim // self.num_heads, self.crpe_window, name="crpe"
+            self.dim // self.num_heads, window, name="crpe"
         )
         self.layers = [
             MHCABlock(

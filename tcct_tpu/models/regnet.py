@@ -29,7 +29,7 @@ from flax import linen as nn
 
 from tcct_tpu.losses.boundary import boundary_regression_loss
 from tcct_tpu.losses.polar import feature_polarization_loss, polar_prototypes
-from tcct_tpu.models.layers import batchnorm, conv2d
+from tcct_tpu.models.layers import ShiftConv3x3, batchnorm, conv2d
 
 
 class RegNet(nn.Module):
@@ -44,13 +44,15 @@ class RegNet(nn.Module):
         self.lap_epl_0 = conv2d(1, 3, 1, 1, name="lap_epl_0")
         self.lap_epl_1 = conv2d(1, 3, 1, 1, name="lap_epl_1")
         dim_reg = nc - 1
+        # depthwise 3x3s expressed as shifted FMAs — see ShiftConv3x3 for
+        # why (XLA TPU space_to_batch backprop-filter compiler bug).
         self.lap_regs = [
-            conv2d(dim_reg, 3, 1, 1, groups=dim_reg, name=f"lap_reg_{i}")
+            ShiftConv3x3(dim_reg, name=f"lap_reg_{i}")
             for i in range(self.lap_reg_depth)
         ]
-        self.lap_map_0 = conv2d(1, 3, 1, 1, name="lap_map_0")
+        self.lap_map_0 = ShiftConv3x3(1, name="lap_map_0")
         self.lap_map_1 = batchnorm(name="lap_map_1", epsilon=1.0)
-        self.lap_map_2 = conv2d(1, 3, 1, 1, name="lap_map_2")
+        self.lap_map_2 = ShiftConv3x3(1, name="lap_map_2")
         self.tau = self.param("tau", nn.initializers.constant(100.0), (1,))
         self.fcp_buf = self.variable(
             "prototypes",
@@ -96,6 +98,29 @@ class RegNet(nn.Module):
         return feature_polarization_loss(
             feats, pred, true, self.fcp_buf.value, con=self.con
         )
+
+    def forward_with_losses(
+        self,
+        x,
+        true,
+        rng_reg=None,
+        train: bool = True,
+        use_udh: bool = False,
+        use_reg: bool = False,
+        use_epl: bool = False,
+    ):
+        """Single-apply forward + auxiliary losses (one traced graph, so
+        XLA fuses everything into the train step — the reference's
+        separate calc_loss round-trips, loop_seg.py:146-171, collapse)."""
+        pyr, feats = self.base(x, train=train)
+        aux = {}
+        if use_udh:
+            aux["udh"] = self.regular_udh(feats, pyr[0], true)
+        if use_reg:
+            aux["reg"] = self.regular_reg(pyr[0], true, rng=rng_reg, train=train)
+        if use_epl:
+            aux["epl"] = self.regular_epl(pyr[0], true)
+        return pyr, feats, aux
 
     def init_loss_heads(self, pred, true):
         """Materialize every auxiliary-loss parameter (flax creates params

@@ -18,13 +18,15 @@ import numpy as np
 from jax import lax
 
 
-def _window_counts(shape, window, strides, padding):
-    """Number of *valid* (non-pad) elements in each pooling window."""
-    ones = np.ones(shape, np.float32)
-    counts = lax.reduce_window(
-        jnp.asarray(ones), 0.0, lax.add, window, strides, padding
-    )
-    return counts
+def _axis_counts(size: int, window: int, stride: int, pad: int) -> np.ndarray:
+    """Valid (non-pad) element count per output position along one axis —
+    computed statically so XLA never constant-folds a full-size ones
+    tensor through reduce_window."""
+    out = (size + 2 * pad - window) // stride + 1
+    i = np.arange(out) * stride - pad
+    lo = np.maximum(i, 0)
+    hi = np.minimum(i + window, size)
+    return np.maximum(hi - lo, 0).astype(np.float32)
 
 
 def avg_pool_2d(
@@ -47,11 +49,14 @@ def avg_pool_2d(
         x.astype(jnp.float32), 0.0, lax.add, tuple(win), tuple(strd), tuple(pad)
     )
     if count_include_pad:
-        denom = float(window * window)
-        out = summed / denom
+        out = summed / float(window * window)
     else:
-        counts = _window_counts(x.shape, tuple(win), tuple(strd), tuple(pad))
-        out = summed / counts
+        ch = _axis_counts(x.shape[h_axis], window, stride, padding)
+        cw = _axis_counts(x.shape[w_axis], window, stride, padding)
+        counts = np.ones((len(ch), len(cw)), np.float32) * ch[:, None] * cw[None, :]
+        shape = [1] * summed.ndim
+        shape[h_axis], shape[w_axis] = len(ch), len(cw)
+        out = summed * jnp.asarray(1.0 / counts).reshape(shape)
     return out.astype(x.dtype)
 
 

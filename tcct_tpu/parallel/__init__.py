@@ -1,0 +1,1 @@
+from tcct_tpu.parallel.mesh import make_mesh, shard_batch, replicate, data_sharding

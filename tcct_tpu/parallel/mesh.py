@@ -1,0 +1,51 @@
+"""Device mesh + sharding helpers.
+
+The reference has no distributed code at all (SURVEY §2.4: a dead
+``--pl`` flag, task1/kite/main.py:47).  Here data-parallelism is the
+first-class strategy: a 1-D ``('data',)`` mesh over all chips, batches
+sharded on the leading axis, parameters replicated.  Model/spatial axes
+are reserved in the axis-name vocabulary (``'model'``) so TP/SP layouts
+for full-volume inference are config, not code changes.
+
+Under ``jax.jit`` with these shardings XLA inserts the gradient psum and
+makes BatchNorm's batch reductions global automatically — no explicit
+collectives in model code, and they ride ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)
+) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = np.array(devs[:n])
+    if len(axis_names) == 1:
+        shape = (n,)
+    else:
+        # fold extra axes as size-1 unless explicitly reshaped by caller
+        shape = (n,) + (1,) * (len(axis_names) - 1)
+    return Mesh(devs.reshape(shape), axis_names)
+
+
+def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def shard_batch(mesh: Mesh, batch):
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, data_sharding(mesh, x.ndim)), batch
+    )
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

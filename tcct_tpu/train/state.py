@@ -1,0 +1,123 @@
+"""Full TrainState + orbax checkpointing.
+
+Replaces the reference's partial resume (task1/kite/loopback.py:56-59,
+105-121: ``params.tar`` holds only {epoch, loss, lr}; optimizer moments
+and RNG are lost on resume).  Here the atomic checkpoint carries params,
+batch_stats, prototypes, optimizer state, PRNG key, step and epoch — a
+resume is bitwise-continuous.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from tcct_tpu.train.schedule import cyclic_lr, make_stepwise
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    epoch: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    prototypes: Any
+    opt_state: Any
+    rng: jax.Array
+
+    def variables(self):
+        return {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "prototypes": self.prototypes,
+        }
+
+
+def make_optimizer(
+    steps_per_epoch: int,
+    lr: Optional[float] = None,
+    weight_decay: float = 2e-4,
+    clip_norm: float = 12.0,
+    base_lr: float = 1e-6,
+    max_lr: float = 1e-4,
+):
+    """AdamW + per-epoch cyclic LR + grad-clip L2 norm 12, matching the
+    reference recipe (loopback.py:126-128, loop_seg.py:128).  ``lr``
+    overrides the schedule with a constant (the reference's --lr is in
+    practice superseded by the cyclic schedule after epoch 0)."""
+    if lr is not None:
+        sched = lr
+    else:
+        sched = make_stepwise(
+            lambda e: cyclic_lr(e, base_lr, max_lr), steps_per_epoch
+        )
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(learning_rate=sched, weight_decay=weight_decay),
+    )
+
+
+def create_train_state(model, optimizer, rng, sample_img, sample_true) -> TrainState:
+    """Init all variables (forward + every loss head) and optimizer state."""
+    k_init, k_state = jax.random.split(rng)
+
+    def init_fn():
+        v = model.init(
+            {"params": k_init, "gate": k_init, "droppath": k_init},
+            sample_img,
+            train=False,
+        )
+        v2 = model.init(
+            {"params": k_init},
+            sample_true,
+            sample_true,
+            method=type(model).init_loss_heads,
+        )
+        # merge loss-head params into the forward variable tree
+        merged = {}
+        for coll in set(v) | set(v2):
+            a = dict(v.get(coll, {}))
+            for k, val in v2.get(coll, {}).items():
+                a.setdefault(k, val)
+            merged[coll] = a
+        return merged
+
+    variables = jax.jit(init_fn)()
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        epoch=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        prototypes=variables.get("prototypes", {}),
+        opt_state=optimizer.init(params),
+        rng=k_state,
+    )
+
+
+# ---------------------------------------------------------------------------
+# orbax checkpointing
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, name: str = "last"):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(ckpt_dir: str, state: TrainState, name: str = "last"):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    if not os.path.isdir(path):
+        return None
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, jax.device_get(state))

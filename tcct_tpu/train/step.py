@@ -1,0 +1,159 @@
+"""Compiled train / eval steps.
+
+One jitted program per step covering: on-device augmentation -> one-hot
+-> forward (train-mode BN) -> deep-supervision Dice loss + optional
+boundary-regression / polarization / edge-pixel losses -> grads ->
+clip(12) -> AdamW -> cyclic LR.  The reference runs these as ~6 separate
+CUDA launches + host syncs per batch (task1/kite/loop_seg.py:108-142);
+here it is a single XLA executable.
+
+Data parallelism: batches arrive sharded on the ('data',) mesh axis;
+state is replicated.  XLA inserts the grad psum and makes BatchNorm's
+batch reductions global — so DP training matches single-chip numerics
+with a bigger batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tcct_tpu.data.augment import train_augment_batch, val_augment_batch
+from tcct_tpu.losses.seg import (
+    deep_supervision_loss,
+    get_loss,
+    mdice_scorem,
+    mdice_scores,
+    miou_scorem,
+)
+from tcct_tpu.train.state import TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Loss/step knobs mirroring the reference CLI (task1/kite/main.py:18-49)."""
+
+    loss: str = "di"
+    ds: bool = True
+    coff_ds: float = 0.5
+    udh: bool = False
+    coff_udh: float = 1.0
+    reg: bool = False
+    coff_reg: float = 0.1
+    epl: bool = False
+    coff_epl: float = 0.1
+    crop_hw: Tuple[int, int] = (256, 256)
+    n_class: int = 5
+    augment: bool = True
+    dtype: Any = jnp.float32
+
+
+def build_train_step(model, optimizer, cfg: TrainConfig) -> Callable:
+    criterion = get_loss(cfg.loss)
+
+    def loss_fn(params, batch_stats, prototypes, img, true_oh, rngs, rng_reg):
+        variables = {
+            "params": params,
+            "batch_stats": batch_stats,
+            "prototypes": prototypes,
+        }
+        (pyr, feats, aux), updates = model.apply(
+            variables,
+            img,
+            true_oh,
+            rng_reg=rng_reg,
+            train=True,
+            use_udh=cfg.udh,
+            use_reg=cfg.reg,
+            use_epl=cfg.epl,
+            method=type(model).forward_with_losses,
+            mutable=["batch_stats"],
+            rngs=rngs,
+        )
+        los = deep_supervision_loss(pyr, true_oh, criterion, ds=cfg.ds, coff_ds=cfg.coff_ds)
+        metrics = {"los": los}
+        if cfg.udh:
+            metrics["udh"] = aux["udh"]
+            los = los + aux["udh"] * cfg.coff_udh
+        if cfg.reg:
+            metrics["reg"] = aux["reg"]
+            los = los + aux["reg"] * cfg.coff_reg
+        if cfg.epl:
+            metrics["epl"] = aux["epl"]
+            los = los + aux["epl"] * cfg.coff_epl
+        metrics["total"] = los
+        return los, (updates.get("batch_stats", batch_stats), metrics)
+
+    @jax.jit
+    def train_step(state: TrainState, imgs_u8, labs_u8):
+        k_aug, k_gate, k_dp, k_reg, k_next = jax.random.split(
+            jax.random.fold_in(state.rng, state.step), 5
+        )
+        if cfg.augment:
+            img, lab = train_augment_batch(imgs_u8, labs_u8, k_aug, cfg.crop_hw)
+        else:
+            img = imgs_u8.astype(jnp.float32) / 255.0
+            lab = labs_u8.astype(jnp.int32)
+        img = img.astype(cfg.dtype)
+        true_oh = jax.nn.one_hot(lab, cfg.n_class, dtype=jnp.float32)
+
+        grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.params,
+            state.batch_stats,
+            state.prototypes,
+            img,
+            true_oh,
+            {"gate": k_gate, "droppath": k_dp},
+            k_reg,
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def build_eval_step(model, cfg: TrainConfig, stochastic_val: bool = True) -> Callable:
+    """Jitted val pass: (stochastically flipped, per the reference's
+    ALB_VALID quirk) forward -> argmax one-hot -> per-class Dice/IoU.
+    Metric math matches task1/kite/losses/miou.py statics."""
+
+    @partial(jax.jit, static_argnames=())
+    def eval_step(state: TrainState, imgs_u8, labs_u8, key):
+        img, lab = val_augment_batch(imgs_u8, labs_u8, key, stochastic=stochastic_val)
+        true_oh = jax.nn.one_hot(lab, cfg.n_class, dtype=jnp.float32)
+        variables = state.variables()
+        pyr, _ = model.apply(variables, img, train=False)
+        logits = pyr[0] if isinstance(pyr, (list, tuple)) else pyr
+        pred_oh = jax.nn.one_hot(jnp.argmax(jax.nn.softmax(logits, -1), -1), cfg.n_class)
+        return {
+            "val_f1s": mdice_scorem(pred_oh, true_oh, start_idx=1),
+            "val_iou": miou_scorem(pred_oh, true_oh, start_idx=1),
+            "scores": mdice_scores(pred_oh, true_oh),
+        }
+
+    return eval_step
+
+
+def build_predict(model, n_class: int) -> Callable:
+    """Jitted predictor: softmax->argmax->one-hot (loop_seg.py:21-33)."""
+
+    @jax.jit
+    def predict(variables, img):
+        pyr, _ = model.apply(variables, img, train=False)
+        logits = pyr[0] if isinstance(pyr, (list, tuple)) else pyr
+        return jax.nn.one_hot(jnp.argmax(jax.nn.softmax(logits, -1), -1), n_class)
+
+    return predict

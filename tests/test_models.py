@@ -1,0 +1,69 @@
+"""Model zoo: every registry entry builds and forwards (the reference's
+__main__ smoke block, nets/tcct.py:1154-1198, as real tests); mixers;
+ReLayNet max-unpool correctness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tcct_tpu.models import get_model, list_models
+from tcct_tpu.models.relaynet import max_pool_with_mask, max_unpool
+
+SMALL = (1, 32, 64, 3)
+
+
+@pytest.mark.parametrize("name", list_models())
+def test_zoo_forward(name):
+    model = get_model(name, 5)
+    x = jnp.zeros(SMALL)
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "gate": jax.random.PRNGKey(1)}, x, train=False
+    )
+    pyr, feats = model.apply(v, x, train=False)
+    assert pyr[0].shape == SMALL[:3] + (5,)
+    for y in pyr:
+        assert y.shape == pyr[0].shape
+    assert feats[0].shape[:3] == SMALL[:3]
+
+
+@pytest.mark.parametrize("mixer", ["metapool", "metapool2d", "factor", "hydra"])
+def test_mixers(mixer):
+    model = get_model("stc_tt", 5, mixer=mixer)
+    x = jnp.zeros(SMALL)
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    pyr, _ = model.apply(v, x, train=False)
+    assert pyr[0].shape == SMALL[:3] + (5,)
+
+
+def test_gate_fusion_train_uses_rng():
+    model = get_model("gtc_tt", 5)
+    x = jnp.ones(SMALL)
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "gate": jax.random.PRNGKey(1),
+         "droppath": jax.random.PRNGKey(2)},
+        x, train=True,
+    )
+    run = lambda k: model.apply(
+        v, x, train=True,
+        rngs={"gate": jax.random.PRNGKey(k), "droppath": jax.random.PRNGKey(9)},
+        mutable=["batch_stats"],
+    )[0][0][0]
+    a, b = run(1), run(2)
+    assert not np.allclose(a, b)  # alpha map is key-driven
+    c = run(1)
+    np.testing.assert_allclose(a, c)  # and deterministic per key
+
+
+def test_max_unpool_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+    pooled, mask = max_pool_with_mask(x)
+    assert pooled.shape == (2, 4, 4, 3)
+    # mask: exactly one hot per window
+    assert np.allclose(np.asarray(mask).reshape(2, 4, 2, 4, 2, 3).sum((2, 4)), 1.0)
+    up = max_unpool(pooled, mask)
+    assert up.shape == x.shape
+    # unpooled values live exactly at the argmax positions
+    sel = np.asarray(up)[np.asarray(mask) > 0]
+    np.testing.assert_allclose(np.sort(sel), np.sort(np.asarray(pooled).ravel()))
