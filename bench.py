@@ -23,7 +23,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_inference(bs=8, hw=(256, 256), iters=30):
+def bench_inference(bs=8, hw=(256, 256), iters=30, dtype=None):
     """Chained-dependency timing: each call's input depends on the previous
     call's output, so every iteration is a real sequential execution (the
     axon relay dedups independent identical calls, which reads 50-100x
@@ -41,8 +41,11 @@ def bench_inference(bs=8, hw=(256, 256), iters=30):
     log(f"init: {time.time()-t0:.1f}s")
 
     def step(x):
-        pyr, _ = net.apply(variables, x, train=False)
-        return x + jnp.mean(pyr[0]) * 1e-12, pyr[0]
+        from tcct_tpu.train.precision import cast_floating
+
+        v = cast_floating(variables, dtype)
+        pyr, _ = net.apply(v, x.astype(dtype) if dtype else x, train=False)
+        return x + jnp.mean(pyr[0].astype(jnp.float32)) * 1e-12, pyr[0]
 
     chained = jax.jit(step)
     t0 = time.time()
@@ -68,7 +71,7 @@ def bench_train(bs=8, hw=(256, 256), iters=20):
 
     n_class = 5
     model = RegNet(base=get_model("stc_tt", n_class), out_channels=n_class)
-    cfg = TrainConfig(n_class=n_class, crop_hw=hw, ds=True)
+    cfg = TrainConfig(n_class=n_class, crop_hw=hw, ds=True, dtype=jnp.bfloat16)
     opt = make_optimizer(steps_per_epoch=100)
     state = create_train_state(
         model,
@@ -97,8 +100,13 @@ def bench_train(bs=8, hw=(256, 256), iters=20):
 
 def main():
     log(f"devices: {jax.devices()}")
-    infer_tput, infer_dt = bench_inference()
-    log(f"inference bs=8 256^2: {infer_dt*1e3:.2f} ms/step = {infer_tput:.1f} B-scans/s")
+    infer_tput, infer_dt = bench_inference(dtype=jnp.bfloat16)
+    log(f"inference bf16 bs=8 256^2: {infer_dt*1e3:.2f} ms/step = {infer_tput:.1f} B-scans/s")
+    try:
+        f32_tput, f32_dt = bench_inference(dtype=None)
+        log(f"inference f32  bs=8 256^2: {f32_dt*1e3:.2f} ms/step = {f32_tput:.1f} B-scans/s")
+    except Exception as e:
+        log(f"f32 inference bench failed: {e!r}")
     try:
         train_tput, train_dt = bench_train()
         log(f"train (aug+DS-dice+AdamW) bs=8 256^2: {train_dt*1e3:.2f} ms/step = {train_tput:.1f} B-scans/s")

@@ -55,7 +55,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_root", type=str, default="", help="dataset root (else $TCCT_DATA_ROOT or synthetic)")
     p.add_argument("--variant", type=str, default="train", choices=["train", "infer"])
     p.add_argument("--mixer", type=str, default="metapool",
-                   choices=["metapool", "metapool2d", "factor", "hydra"])
+                   choices=["metapool", "metapool_pallas", "metapool2d", "factor", "hydra"])
     p.add_argument("--crop", type=int, default=256, help="train crop size")
     p.add_argument("--stochastic_val", type=str2bool, default=True,
                    help="reproduce the reference's random val-time flips (octgen.py:21-25)")

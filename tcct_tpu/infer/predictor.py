@@ -34,11 +34,15 @@ class VolumePredictor:
     geo: DatasetGeometry
     batch_size: int = 8
     mesh: Optional[object] = None
+    dtype: object = jnp.bfloat16  # serving default: bf16 (HBM-bound model)
 
     def __post_init__(self):
+        from tcct_tpu.train.precision import cast_floating
+
         @jax.jit
         def _fwd(variables, x):
-            pyr, _ = self.model.apply(variables, x, train=False)
+            variables = cast_floating(variables, self.dtype)
+            pyr, _ = self.model.apply(variables, x.astype(self.dtype or x.dtype), train=False)
             logits = pyr[0] if isinstance(pyr, (list, tuple)) else pyr
             return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 

@@ -90,27 +90,45 @@ class FTC(nn.Module):
     flag_gate: bool = False
     flag_cnn: bool = True
     flag_vit: bool = True
-    variant: str = "train"  # 'train' (nets/tcct.py) | 'infer' (onnx/tcct_*.py)
+    # 'train' (nets/tcct.py) | 'infer' (onnx/tcct_*.py) | 't32'
+    # (nets/tcct32.py dev variant: every skip projected to a common
+    # ``t32_filters`` width, every decoder stage 32ch — the published file
+    # is dimensionally inconsistent (dec2 expects 64ch but receives dec1's
+    # 32ch output and would crash in torch); repaired here with 1x1 skip
+    # adapters, deviation documented)
+    variant: str = "train"
+    t32_filters: int = 64
 
     def setup(self):
         self.base_vit = MPViT(self.vit_cfg, name="base_vit")
         self.base_cnn = CrossResNet(tiny=self.cnn_tiny, plain=self.cnn_plain, name="base_cnn")
         ld = self.base_cnn.layer_dims
         ed = self.vit_cfg.embed_dims
-        for i, (e, l) in enumerate(zip((ed[1], ed[2], ed[3], ed[3]), (ld[1], ld[2], ld[3], ld[4]))):
+        t32 = self.variant == "t32"
+        tran_dims = (self.t32_filters,) * 4 if t32 else (ld[1], ld[2], ld[3], ld[4])
+        for i, l in enumerate(tran_dims):
             setattr(self, f"tran_vit{i}_0", conv2d(l, 1, 1, 0, name=f"tran_vit{i}_0"))
             setattr(self, f"tran_vit{i}_1", batchnorm(name=f"tran_vit{i}_1"))
             setattr(self, f"tran_cnn{i}_0", conv2d(l, 1, 1, 0, name=f"tran_cnn{i}_0"))
             setattr(self, f"tran_cnn{i}_1", batchnorm(name=f"tran_cnn{i}_1"))
-        self.head_0 = conv2d(ld[-1], 3, 1, 1, name="head_0")
+        self.head_0 = conv2d(self.t32_filters if t32 else ld[-1], 3, 1, 1, name="head_0")
         self.head_1 = batchnorm(name="head_1")
         # `fuse` exists in the reference param tree but is unused in forward
         # (tcct.py:982) — kept for checkpoint-shape compatibility.
         self.fuse = conv2d(self.filters, 1, 1, 0, name="fuse")
-        self.dec1 = MPUpBlock(ld[-2], name="dec1")
-        self.dec2 = MPUpBlock(ld[-3], name="dec2")
-        self.dec3 = MPUpBlock(ld[-4], name="dec3")
-        self.dec4 = MPUpBlock(self.filters, name="dec4")
+        if t32:
+            self.dec1 = MPUpBlock(32, name="dec1")
+            self.dec2 = MPUpBlock(32, name="dec2")
+            self.dec3 = MPUpBlock(32, name="dec3")
+            self.dec4 = MPUpBlock(32, name="dec4")
+            self.skip1 = conv2d(32, 1, 1, 0, name="skip1")
+            self.skip2 = conv2d(32, 1, 1, 0, name="skip2")
+            self.skip3 = conv2d(32, 1, 1, 0, name="skip3")
+        else:
+            self.dec1 = MPUpBlock(ld[-2], name="dec1")
+            self.dec2 = MPUpBlock(ld[-3], name="dec2")
+            self.dec3 = MPUpBlock(ld[-4], name="dec3")
+            self.dec4 = MPUpBlock(self.filters, name="dec4")
         if self.variant == "train":
             self.t321 = conv2d(self.filters, 1, 1, 0, name="t321")
             self.t322 = conv2d(self.filters, 1, 1, 0, name="t322")
@@ -159,11 +177,25 @@ class FTC(nn.Module):
         y8 = self.head_0(x5)
         y8 = self.head_1(y8, use_running_average=not train)
         y8 = leaky_relu(y8)
+
+        size = x.shape[1:3]
+        if self.variant == "t32":
+            # repaired tcct32 decoder: 1x1 skip adapters to the common
+            # 32ch decoder width; feats likewise use the adapted skips
+            # (the published file sums mismatched channel counts).
+            y4 = self.dec1(y8, self.skip1(x4), train)
+            y2 = self.dec2(y4, self.skip2(x3), train)
+            y1 = self.dec3(y2, self.skip3(x2), train)
+            y0 = self.dec4(y1, x1, train)
+            feats = [norm_add([x1, self.skip3(x2), self.skip2(x3), y0, y1, y2])]
+            out0 = self.aux0(y0)
+            out1 = resize_bilinear(self.aux1(y1), size, align_corners=False)
+            out2 = resize_bilinear(self.aux2(y2), size, align_corners=False)
+            out4 = resize_bilinear(self.aux4(y4), size, align_corners=False)
+            return [out0, out1, out2, out4], feats
         y4 = self.dec1(y8, x4, train)
         y2 = self.dec2(y4, x3, train)
         y1 = self.dec3(y2, x2, train)
-
-        size = x.shape[1:3]
         if self.variant == "train":
             y0 = self.dec4(y1, x1, train)
             y0 = self.t324(x1 + y0)

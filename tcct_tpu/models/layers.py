@@ -70,6 +70,7 @@ def conv2d(
     use_bias=True,
     name=None,
     kernel_init=None,
+    dtype=None,
 ):
     """torch-style nn.Conv2d constructor: int kernel/stride/padding,
     explicit symmetric padding (torch semantics, not XLA SAME)."""
@@ -90,16 +91,20 @@ def conv2d(
         feature_group_count=groups,
         use_bias=use_bias,
         kernel_init=kernel_init or conv_init(),
+        dtype=dtype,
         name=name,
     )
 
 
-def batchnorm(name=None, bn_weight_init: float = 1.0, epsilon: float = 1e-5):
+def batchnorm(name=None, bn_weight_init: float = 1.0, epsilon: float = 1e-5, dtype=None):
+    # stats always reduce in f32 (flax force_float32_reductions) — bf16
+    # IO is bandwidth, not stability
     return nn.BatchNorm(
         use_running_average=None,  # passed via call kwarg `use_running_average`
         momentum=0.9,
         epsilon=epsilon,
         scale_init=nn.initializers.constant(bn_weight_init),
+        dtype=dtype,
         name=name,
     )
 

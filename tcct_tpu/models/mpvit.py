@@ -54,7 +54,7 @@ class MPViTConfig:
     mlp_ratios: Tuple[int, ...] = (1, 1, 1, 1)
     num_heads: Tuple[int, ...] = (4, 4, 4, 4)
     drop_path_rate: float = 0.1
-    mixer: str = "metapool"  # metapool | metapool2d | factor | hydra
+    mixer: str = "metapool"  # metapool | metapool_pallas | metapool2d | factor | hydra
     # Reference crpe head-split table (tcct.py:482-486).  With metapool the
     # crpe params exist (for checkpoint compatibility) but are never applied.
     crpe_window: Tuple[Tuple[int, int], ...] = ((3, 2), (5, 3), (7, 3))
@@ -250,6 +250,10 @@ class MHCABlock(nn.Module):
         cur = self.norm1(x)
         if self.mixer == "metapool":
             a = metapool_tokens(cur)
+        elif self.mixer == "metapool_pallas":
+            from tcct_tpu.ops.pallas import metapool_tokens_pallas
+
+            a = metapool_tokens_pallas(cur)
         elif self.mixer == "metapool2d":
             a = metapool_spatial(cur, size)
         else:

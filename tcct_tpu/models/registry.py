@@ -106,6 +106,13 @@ def vitu(n_class=8, **kw):
     return _ftc(_vit_cfg("tiny", kw), True, False, n_class, flag_cnn=False, **kw)
 
 
+@register("tcct32")
+def tcct32(n_class=8, **kw):
+    """Dev variant from nets/tcct32.py (dimension-repaired, see FTC)."""
+    kw.setdefault("variant", "t32")
+    return _ftc(_vit_cfg("tiny", kw), True, False, n_class, **kw)
+
+
 @register("relay")
 def relay(n_class=8, **kw):
     from tcct_tpu.models.relaynet import ReLayNet

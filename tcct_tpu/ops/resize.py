@@ -51,10 +51,39 @@ def _linear_coeffs(in_size: int, out_size: int, align_corners: bool):
     return i0, i1, w
 
 
+@functools.lru_cache(maxsize=None)
+def _linear_matrix(in_size: int, out_size: int, align_corners: bool):
+    """[out, in] interpolation matrix (2 nonzeros per row)."""
+    i0, i1, w = _linear_coeffs(in_size, out_size, align_corners)
+    m = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, i0), 1.0 - w)
+    np.add.at(m, (rows, i1), w)
+    return m
+
+
+# Below this input size, lower the per-axis resize to a dense
+# constant-matrix contraction: on TPU a [out,in] matmul rides the MXU and
+# beats the gather formulation (gathers don't vectorize well); above it
+# the matrix itself would dominate memory, so fall back to gathers.
+_MATMUL_RESIZE_MAX_IN = 4096
+
+
+def _apply_axis_matrix(x, m: np.ndarray, axis: int):
+    mm = jnp.asarray(m, dtype=x.dtype if x.dtype != jnp.float64 else jnp.float32)
+    x_moved = jnp.moveaxis(x, axis, -1)
+    y = jnp.einsum(
+        "...i,oi->...o", x_moved, mm, preferred_element_type=x.dtype
+    )
+    return jnp.moveaxis(y, -1, axis)
+
+
 def _resize_axis_linear(x, out_size: int, axis: int, align_corners: bool):
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
+    if in_size <= _MATMUL_RESIZE_MAX_IN:
+        return _apply_axis_matrix(x, _linear_matrix(in_size, out_size, align_corners), axis)
     i0, i1, w = _linear_coeffs(in_size, out_size, align_corners)
     x0 = jnp.take(x, jnp.asarray(i0), axis=axis)
     x1 = jnp.take(x, jnp.asarray(i1), axis=axis)
@@ -102,10 +131,22 @@ def _cubic_coeffs(in_size: int, out_size: int, align_corners: bool):
     return idxs, ws
 
 
+@functools.lru_cache(maxsize=None)
+def _cubic_matrix(in_size: int, out_size: int, align_corners: bool):
+    idxs, ws = _cubic_coeffs(in_size, out_size, align_corners)
+    m = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    for idx, w in zip(idxs, ws):
+        np.add.at(m, (rows, idx), w)
+    return m
+
+
 def _resize_axis_cubic(x, out_size: int, axis: int, align_corners: bool):
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
+    if in_size <= _MATMUL_RESIZE_MAX_IN:
+        return _apply_axis_matrix(x, _cubic_matrix(in_size, out_size, align_corners), axis)
     idxs, ws = _cubic_coeffs(in_size, out_size, align_corners)
     shape = [1] * x.ndim
     shape[axis] = out_size

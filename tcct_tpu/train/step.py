@@ -30,6 +30,7 @@ from tcct_tpu.losses.seg import (
     mdice_scores,
     miou_scorem,
 )
+from tcct_tpu.train.precision import cast_floating, to_f32
 from tcct_tpu.train.state import TrainState
 
 
@@ -56,10 +57,12 @@ def build_train_step(model, optimizer, cfg: TrainConfig) -> Callable:
     criterion = get_loss(cfg.loss)
 
     def loss_fn(params, batch_stats, prototypes, img, true_oh, rngs, rng_reg):
+        # mixed precision: cast compute copies to cfg.dtype; masters stay
+        # f32 and receive f32 grads through the casts
         variables = {
-            "params": params,
-            "batch_stats": batch_stats,
-            "prototypes": prototypes,
+            "params": cast_floating(params, cfg.dtype),
+            "batch_stats": cast_floating(batch_stats, cfg.dtype),
+            "prototypes": cast_floating(prototypes, cfg.dtype),
         }
         (pyr, feats, aux), updates = model.apply(
             variables,
@@ -74,6 +77,8 @@ def build_train_step(model, optimizer, cfg: TrainConfig) -> Callable:
             mutable=["batch_stats"],
             rngs=rngs,
         )
+        pyr = [to_f32(p) for p in pyr]
+        aux = to_f32(aux)
         los = deep_supervision_loss(pyr, true_oh, criterion, ds=cfg.ds, coff_ds=cfg.coff_ds)
         metrics = {"los": los}
         if cfg.udh:
@@ -86,7 +91,8 @@ def build_train_step(model, optimizer, cfg: TrainConfig) -> Callable:
             metrics["epl"] = aux["epl"]
             los = los + aux["epl"] * cfg.coff_epl
         metrics["total"] = los
-        return los, (updates.get("batch_stats", batch_stats), metrics)
+        new_bs = to_f32(updates.get("batch_stats", batch_stats))
+        return los, (new_bs, metrics)
 
     @jax.jit
     def train_step(state: TrainState, imgs_u8, labs_u8):
@@ -134,9 +140,10 @@ def build_eval_step(model, cfg: TrainConfig, stochastic_val: bool = True) -> Cal
     def eval_step(state: TrainState, imgs_u8, labs_u8, key):
         img, lab = val_augment_batch(imgs_u8, labs_u8, key, stochastic=stochastic_val)
         true_oh = jax.nn.one_hot(lab, cfg.n_class, dtype=jnp.float32)
-        variables = state.variables()
-        pyr, _ = model.apply(variables, img, train=False)
+        variables = cast_floating(state.variables(), cfg.dtype)
+        pyr, _ = model.apply(variables, img.astype(cfg.dtype), train=False)
         logits = pyr[0] if isinstance(pyr, (list, tuple)) else pyr
+        logits = logits.astype(jnp.float32)
         pred_oh = jax.nn.one_hot(jnp.argmax(jax.nn.softmax(logits, -1), -1), cfg.n_class)
         return {
             "val_f1s": mdice_scorem(pred_oh, true_oh, start_idx=1),
