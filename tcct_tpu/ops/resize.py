@@ -69,13 +69,19 @@ def _linear_matrix(in_size: int, out_size: int, align_corners: bool):
 _MATMUL_RESIZE_MAX_IN = 4096
 
 
+_EINSUM_LETTERS = "abcdefghijklmnpqrstuvwxyz"  # 'o' reserved for the out axis
+
+
 def _apply_axis_matrix(x, m: np.ndarray, axis: int):
+    """Contract the interpolation matrix directly over ``axis`` (a single
+    dot_general, no moveaxis — explicit transposes cost real HBM traffic
+    in the backward pass)."""
     mm = jnp.asarray(m, dtype=x.dtype if x.dtype != jnp.float64 else jnp.float32)
-    x_moved = jnp.moveaxis(x, axis, -1)
-    y = jnp.einsum(
-        "...i,oi->...o", x_moved, mm, preferred_element_type=x.dtype
-    )
-    return jnp.moveaxis(y, -1, axis)
+    axis = axis % x.ndim
+    in_sub = "".join(_EINSUM_LETTERS[i] for i in range(x.ndim))
+    out_sub = in_sub[:axis] + "o" + in_sub[axis + 1 :]
+    eq = f"{in_sub},o{in_sub[axis]}->{out_sub}"
+    return jnp.einsum(eq, x, mm, preferred_element_type=x.dtype)
 
 
 def _resize_axis_linear(x, out_size: int, axis: int, align_corners: bool):

@@ -33,7 +33,12 @@ from tcct_tpu.train.state import (
     restore_checkpoint,
     save_checkpoint,
 )
-from tcct_tpu.train.step import TrainConfig, build_eval_step, build_train_step
+from tcct_tpu.train.step import (
+    TrainConfig,
+    build_eval_step,
+    build_train_epoch,
+    build_train_step,
+)
 from tcct_tpu.utils.logging import MetricLogger
 
 
@@ -77,6 +82,7 @@ class Trainer:
             model, self.optimizer, rng, sample_img, sample_true
         )
         self.train_step = build_train_step(model, self.optimizer, cfg)
+        self.train_epoch_fn = build_train_epoch(model, self.optimizer, cfg)
         self.eval_step = build_eval_step(model, cfg, stochastic_val=stochastic_val)
         self.mesh = mesh
 
@@ -102,11 +108,16 @@ class Trainer:
             idx = np.tile(idx, -(-need // max(len(idx), 1)))
         return idx[:need].reshape(self.steps_per_epoch, self.bs)
 
-    def train_epoch(self, epoch: int) -> Dict[str, float]:
+    def train_epoch(self, epoch: int, scan: bool = True) -> Dict[str, float]:
         imgs, labs = self._dev["train"]
         idx_plan = jnp.asarray(self._epoch_indices(epoch))
+        if scan:
+            # whole epoch = one compiled program (lax.scan over batches)
+            state, losses = self.train_epoch_fn(self.state, imgs, labs, idx_plan)
+            self.state = state.replace(epoch=state.epoch + 1)
+            losses = np.asarray(losses)
+            return {"total": float(losses[-1]), "los_epoch": float(losses.sum())}
         state = self.state
-
         los_sum = 0.0
         metrics = {}
         for s in range(self.steps_per_epoch):

@@ -53,7 +53,7 @@ class TrainConfig:
     dtype: Any = jnp.float32
 
 
-def build_train_step(model, optimizer, cfg: TrainConfig) -> Callable:
+def build_train_step(model, optimizer, cfg: TrainConfig, jit: bool = True) -> Callable:
     criterion = get_loss(cfg.loss)
 
     def loss_fn(params, batch_stats, prototypes, img, true_oh, rngs, rng_reg):
@@ -94,7 +94,6 @@ def build_train_step(model, optimizer, cfg: TrainConfig) -> Callable:
         new_bs = to_f32(updates.get("batch_stats", batch_stats))
         return los, (new_bs, metrics)
 
-    @jax.jit
     def train_step(state: TrainState, imgs_u8, labs_u8):
         k_aug, k_gate, k_dp, k_reg, k_next = jax.random.split(
             jax.random.fold_in(state.rng, state.step), 5
@@ -128,7 +127,29 @@ def build_train_step(model, optimizer, cfg: TrainConfig) -> Callable:
         )
         return new_state, metrics
 
-    return train_step
+    return jax.jit(train_step) if jit else train_step
+
+
+def build_train_epoch(model, optimizer, cfg: TrainConfig) -> Callable:
+    """Whole-epoch training as ONE compiled program: ``lax.scan`` over the
+    per-epoch shuffled index plan, gathering batches from the
+    device-resident dataset.  Against the reference's per-batch
+    DataLoader-fork + H2D + multi-launch loop (loop_seg.py:108-142), an
+    epoch is a single XLA executable with zero host round-trips."""
+    step = build_train_step(model, optimizer, cfg, jit=False)
+
+    @jax.jit
+    def train_epoch(state: TrainState, imgs_u8, labs_u8, idx_plan):
+        def body(st, bi):
+            st, metrics = step(
+                st, jnp.take(imgs_u8, bi, 0), jnp.take(labs_u8, bi, 0)
+            )
+            return st, metrics["total"]
+
+        state, losses = jax.lax.scan(body, state, idx_plan)
+        return state, losses
+
+    return train_epoch
 
 
 def build_eval_step(model, cfg: TrainConfig, stochastic_val: bool = True) -> Callable:
