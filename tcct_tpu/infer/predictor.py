@@ -35,6 +35,7 @@ class VolumePredictor:
     batch_size: int = 8
     mesh: Optional[object] = None
     dtype: object = jnp.bfloat16  # serving default: bf16 (HBM-bound model)
+    fused_cnn: bool = False  # Pallas fused CrossResNet (FTC models only)
 
     def __post_init__(self):
         from tcct_tpu.train.precision import cast_floating
@@ -42,7 +43,19 @@ class VolumePredictor:
         @jax.jit
         def _fwd(variables, x):
             variables = cast_floating(variables, self.dtype)
-            pyr, _ = self.model.apply(variables, x.astype(self.dtype or x.dtype), train=False)
+            x = x.astype(self.dtype or x.dtype)
+            kw = {}
+            if self.fused_cnn:
+                from tcct_tpu.ops.pallas.crosscnn_fused import cross_resnet_fused
+
+                p = variables["params"]
+                s = variables["batch_stats"]
+                if "base" in p:  # RegNet wrapper
+                    p, s = p["base"], s["base"]
+                kw["cnn_feats"] = cross_resnet_fused(
+                    x, p["base_cnn"], s["base_cnn"]
+                )
+            pyr, _ = self.model.apply(variables, x, train=False, **kw)
             logits = pyr[0] if isinstance(pyr, (list, tuple)) else pyr
             return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 

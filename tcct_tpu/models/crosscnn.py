@@ -63,6 +63,8 @@ class CrossResNet(nn.Module):
     tiny: bool = False
     plain: bool = False
     in_ch: int = 3
+    msca: bool = False  # optional SegNeXt attention after each block
+    #                     (dead code in the reference, tcct.py:824)
 
     @property
     def layer_dims(self) -> Tuple[int, ...]:
@@ -79,6 +81,10 @@ class CrossResNet(nn.Module):
             x = CrossCNNBlock(
                 dims[i], ksizes[i], plain=self.plain, name=f"path_estan_{i}"
             )(x, train)
+            if self.msca:
+                from tcct_tpu.models.msca import MSCA
+
+                x = MSCA(dims[i], name=f"att_{i}")(x)
             xs.append(x)
             x = max_pool_2d(x, 2)
         return xs

@@ -144,14 +144,17 @@ class FTC(nn.Module):
         x = getattr(self, f"{prefix}{i}_0")(x)
         return getattr(self, f"{prefix}{i}_1")(x, use_running_average=not train)
 
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, cnn_feats=None):
         gate = gate_fusion if self.flag_gate else simple_fusion
         rngs = [
             self.make_rng("gate") if (self.flag_gate and train) else None
             for _ in range(4)
         ]
 
-        cs = self.base_cnn(x, train)
+        # cnn_feats: externally computed CNN pyramid (e.g. the fused
+        # Pallas CrossResNet, ops/pallas/crosscnn_fused.py) — lets the
+        # serving path swap the branch without touching the param tree.
+        cs = cnn_feats if cnn_feats is not None else self.base_cnn(x, train)
         c1, c2, c3, c4, c5 = cs
         if self.flag_vit and self.flag_cnn:
             vs = self.base_vit.forward_features(x, train)

@@ -60,8 +60,8 @@ class RegNet(nn.Module):
             lambda: polar_prototypes(jax.random.PRNGKey(0), nc, self.num_emb),
         )
 
-    def __call__(self, x, train: bool = False):
-        return self.base(x, train=train)
+    def __call__(self, x, train: bool = False, **kw):
+        return self.base(x, train=train, **kw)
 
     # -- bound conv applications -------------------------------------------
 

@@ -62,9 +62,23 @@ def avg_pool_2d(
 
 def max_pool_2d(x, window: int = 2, stride: int | None = None, spatial_axes=(1, 2)):
     """MaxPool with torch's default floor-mode VALID semantics
-    (reference task1/nets/tcct.py:867 ``nn.MaxPool2d(kernel_size=2)``)."""
+    (reference task1/nets/tcct.py:867 ``nn.MaxPool2d(kernel_size=2)``).
+
+    The common 2x2/2 NHWC case lowers to reshape+max (profiled ~2x faster
+    than reduce_window on v5e and fuses with neighbours); everything else
+    uses reduce_window."""
     stride = stride or window
     h_axis, w_axis = spatial_axes
+    if (
+        window == 2
+        and stride == 2
+        and x.ndim == 4
+        and (h_axis, w_axis) == (1, 2)
+        and x.shape[1] % 2 == 0
+        and x.shape[2] % 2 == 0
+    ):
+        B, H, W, C = x.shape
+        return jnp.max(x.reshape(B, H // 2, 2, W // 2, 2, C), axis=(2, 4))
     win = [1] * x.ndim
     strd = [1] * x.ndim
     win[h_axis] = win[w_axis] = window

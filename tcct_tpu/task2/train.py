@@ -192,3 +192,40 @@ class ClsTrainer:
         self.state = self.state.replace(
             params=restored["params"], batch_stats=restored["batch_stats"]
         )
+
+
+def main(argv=None):
+    """CLI mirroring the reference (task2/t2_train.py:26-34):
+    ``python -m tcct_tpu.task2.train --net=res18 --lr=1e-5 --bs=8``."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="GOALS Task-2 Argument")
+    p.add_argument("--inc", type=str, default="")
+    p.add_argument("--gpu", type=str, default="0", help="(ignored; jax devices)")
+    p.add_argument("--net", type=str, default="res18", choices=["res18", "res34", "res50"])
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--bs", type=int, default=8)
+    p.add_argument("--img_size", type=int, default=224)
+    p.add_argument("--epochs", type=int, default=99)
+    p.add_argument("--root", type=str, default="goals_task2")
+    p.add_argument("--data_root", type=str, default="", help="GOALS folder (else synthetic)")
+    p.add_argument("--bug", action="store_true")
+    args = p.parse_args(argv)
+
+    ds = None
+    if args.data_root:
+        ds = GoalClsSet.load(
+            dataset_root=os.path.join(args.data_root, "Train", "Image"),
+            label_file=os.path.join(args.data_root, "Train", "Train_GC_GT.xlsx"),
+            img_size=args.img_size,
+        )
+    tr = ClsTrainer(
+        net=args.net, lr=args.lr, bs=args.bs, root=args.root,
+        img_size=args.img_size, dataset=ds, debug=args.bug,
+    )
+    scores = tr.fit(epochs=1 if args.bug else args.epochs)
+    print("final:", scores)
+
+
+if __name__ == "__main__":
+    main()

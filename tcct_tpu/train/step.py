@@ -51,6 +51,8 @@ class TrainConfig:
     n_class: int = 5
     augment: bool = True
     dtype: Any = jnp.float32
+    remat: bool = False  # rematerialize the forward in backward (trade
+    #                      FLOPs for HBM; useful for big crops / batches)
 
 
 def build_train_step(model, optimizer, cfg: TrainConfig, jit: bool = True) -> Callable:
@@ -64,19 +66,24 @@ def build_train_step(model, optimizer, cfg: TrainConfig, jit: bool = True) -> Ca
             "batch_stats": cast_floating(batch_stats, cfg.dtype),
             "prototypes": cast_floating(prototypes, cfg.dtype),
         }
-        (pyr, feats, aux), updates = model.apply(
-            variables,
-            img,
-            true_oh,
-            rng_reg=rng_reg,
-            train=True,
-            use_udh=cfg.udh,
-            use_reg=cfg.reg,
-            use_epl=cfg.epl,
-            method=type(model).forward_with_losses,
-            mutable=["batch_stats"],
-            rngs=rngs,
-        )
+        def fwd(variables, img, true_oh):
+            return model.apply(
+                variables,
+                img,
+                true_oh,
+                rng_reg=rng_reg,
+                train=True,
+                use_udh=cfg.udh,
+                use_reg=cfg.reg,
+                use_epl=cfg.epl,
+                method=type(model).forward_with_losses,
+                mutable=["batch_stats"],
+                rngs=rngs,
+            )
+
+        if cfg.remat:
+            fwd = jax.checkpoint(fwd)
+        (pyr, feats, aux), updates = fwd(variables, img, true_oh)
         pyr = [to_f32(p) for p in pyr]
         aux = to_f32(aux)
         los = deep_supervision_loss(pyr, true_oh, criterion, ds=cfg.ds, coff_ds=cfg.coff_ds)

@@ -55,6 +55,16 @@ def test_gate_fusion_train_uses_rng():
     np.testing.assert_allclose(a, c)  # and deterministic per key
 
 
+def test_msca():
+    from tcct_tpu.models.crosscnn import CrossResNet
+
+    m = CrossResNet(tiny=True, msca=True)
+    x = jnp.zeros((1, 32, 32, 3))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    xs = m.apply(v, x, train=False)
+    assert len(xs) == 5 and "att_0" in v["params"]
+
+
 def test_max_unpool_roundtrip():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
