@@ -20,6 +20,7 @@ shapes, so nothing here introduces dynamic shapes under ``jit``.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax.numpy as jnp
@@ -68,6 +69,24 @@ def _linear_matrix(in_size: int, out_size: int, align_corners: bool):
 # the matrix itself would dominate memory, so fall back to gathers.
 _MATMUL_RESIZE_MAX_IN = 4096
 
+# Measured on v5e: the matmul form is faster FORWARD (bf16 13.6->13.2 ms,
+# f32 18.0->16.3 ms full-model) but its autodiff transpose regresses the
+# TRAIN step 40->68 ms — so the train step traces with gathers.
+_USE_MATMUL = True
+
+
+@contextlib.contextmanager
+def resize_impl(mode: str):
+    """Trace-time resize lowering choice: 'matmul' (inference default) or
+    'gather' (used while tracing the train step)."""
+    global _USE_MATMUL
+    prev = _USE_MATMUL
+    _USE_MATMUL = mode == "matmul"
+    try:
+        yield
+    finally:
+        _USE_MATMUL = prev
+
 
 _EINSUM_LETTERS = "abcdefghijklmnpqrstuvwxyz"  # 'o' reserved for the out axis
 
@@ -88,7 +107,7 @@ def _resize_axis_linear(x, out_size: int, axis: int, align_corners: bool):
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
-    if in_size <= _MATMUL_RESIZE_MAX_IN:
+    if _USE_MATMUL and in_size <= _MATMUL_RESIZE_MAX_IN:
         return _apply_axis_matrix(x, _linear_matrix(in_size, out_size, align_corners), axis)
     i0, i1, w = _linear_coeffs(in_size, out_size, align_corners)
     x0 = jnp.take(x, jnp.asarray(i0), axis=axis)
@@ -151,7 +170,7 @@ def _resize_axis_cubic(x, out_size: int, axis: int, align_corners: bool):
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
-    if in_size <= _MATMUL_RESIZE_MAX_IN:
+    if _USE_MATMUL and in_size <= _MATMUL_RESIZE_MAX_IN:
         return _apply_axis_matrix(x, _cubic_matrix(in_size, out_size, align_corners), axis)
     idxs, ws = _cubic_coeffs(in_size, out_size, align_corners)
     shape = [1] * x.ndim

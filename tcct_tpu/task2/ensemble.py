@@ -68,3 +68,57 @@ def ensemble_csvs(csv_paths: Sequence[str], out_path: str) -> Dict[str, int]:
     final = {k: int(round(v / len(csv_paths))) for k, v in sorted(acc.items())}
     write_csv(out_path, list(final.keys()), list(final.values()))
     return final
+
+
+def main(argv=None):
+    """CLI mirroring t2_ensemble.py's __main__: per-checkpoint TTA CSVs,
+    then the mean+round ensemble."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tcct_tpu.task2.data import GoalClsSet
+    from tcct_tpu.task2.train import ClsTrainer
+
+    p = argparse.ArgumentParser(description="GOALS Task-2 TTA ensemble")
+    p.add_argument("--weights", type=str, default="task2/weights",
+                   help="folder of per-model checkpoint dirs (name contains res18/res34/res50)")
+    p.add_argument("--data_root", type=str, default="", help="GOALS folder (else synthetic)")
+    p.add_argument("--out", type=str, default="task2/prediction")
+    p.add_argument("--img_size", type=int, default=224)
+    args = p.parse_args(argv)
+
+    ds = (
+        GoalClsSet.load(
+            dataset_root=os.path.join(args.data_root, "Validation", "Image"),
+            img_size=args.img_size,
+        )
+        if args.data_root
+        else GoalClsSet.load(img_size=args.img_size)
+    )
+    imgs = jnp.asarray(ds.imgs)
+    csvs = []
+    ckpts = sorted(glob.glob(os.path.join(args.weights, "*")))
+    for i, ck in enumerate(ckpts):
+        tag = "res34" if "res34" in ck else "res50" if "res50" in ck else "res18"
+        tr = ClsTrainer(net=tag, img_size=args.img_size, dataset=ds, root="/tmp/_ens")
+        tr.load(ck)
+        tta = build_tta_predict(tr.model)
+        preds = []
+        for j in range(0, len(ds.imgs), 8):
+            preds.append(np.asarray(tta(tr.state.params, tr.state.batch_stats, imgs[j : j + 8])))
+        csv_path = os.path.join(args.out, f"Classification_Results{i}.csv")
+        write_csv(csv_path, ds.names, list(np.concatenate(preds)))
+        csvs.append(csv_path)
+        print("tta4:", ck, "->", csv_path)
+    if csvs:
+        final = ensemble_csvs(csvs, os.path.join(args.out, "Classification_Results.csv"))
+        print("ensemble:", list(final.items())[:5], "...")
+    else:
+        print("no checkpoints found under", args.weights)
+
+
+if __name__ == "__main__":
+    main()

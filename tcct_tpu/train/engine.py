@@ -183,6 +183,36 @@ class Trainer:
         print(f"fit done in {(time.time()-t_fit)/60:.2f} min; best dice {self.best_dice:.4f}")
         return last_logs
 
+    # -- small utilities (reference loopback.py:53-99) ------------------------
+
+    def lr(self) -> float:
+        """Current LR from the schedule (loopback.py islrLowerThan's input)."""
+        from tcct_tpu.train.schedule import cyclic_lr
+
+        return float(cyclic_lr(int(self.state.step) // max(self.steps_per_epoch, 1)))
+
+    def is_lr_lower_than(self, thresh: float = 1e-5) -> bool:
+        return self.lr() < thresh
+
+    def weights_desc(self, key: str = "tau"):
+        """Print params whose path contains ``key`` (loopback.py:89-93)."""
+        from tcct_tpu.infer.importer import _flatten
+
+        for path, val in _flatten(self.state.params).items():
+            if any(key in p for p in path):
+                print("/".join(path), np.asarray(val))
+
+    def remove_checkpoints(self, keep: str = "val_top"):
+        """Delete checkpoint dirs except ``keep`` (loopback.py:95-99)."""
+        import shutil
+
+        for name in os.listdir(self.root):
+            p = os.path.join(self.root, name)
+            if os.path.isdir(p) and name != keep and os.path.exists(
+                os.path.join(p, "_METADATA")
+            ):
+                shutil.rmtree(p)
+
     # -- persistence ----------------------------------------------------------
 
     def resume(self, name: str = "last") -> bool:

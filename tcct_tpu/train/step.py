@@ -83,7 +83,12 @@ def build_train_step(model, optimizer, cfg: TrainConfig, jit: bool = True) -> Ca
 
         if cfg.remat:
             fwd = jax.checkpoint(fwd)
-        (pyr, feats, aux), updates = fwd(variables, img, true_oh)
+        from tcct_tpu.ops.resize import resize_impl
+
+        # gather-form resizes differentiate much faster than the matmul
+        # form (see ops/resize.py); this is a trace-time choice
+        with resize_impl("gather"):
+            (pyr, feats, aux), updates = fwd(variables, img, true_oh)
         pyr = [to_f32(p) for p in pyr]
         aux = to_f32(aux)
         los = deep_supervision_loss(pyr, true_oh, criterion, ds=cfg.ds, coff_ds=cfg.coff_ds)

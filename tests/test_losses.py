@@ -68,3 +68,11 @@ def test_cosinesim(golden):
     g = golden("binpool")
     loss = cosinesim_loss(jnp.asarray(g["cos_q"]), jnp.asarray(g["cos_k"]))
     np.testing.assert_allclose(loss, g["cos_loss"], rtol=1e-5)
+
+
+def test_cyclic_lr_matches_torch(golden):
+    from tcct_tpu.train.schedule import cyclic_lr
+
+    g = golden("schedule")
+    ours = np.array([float(cyclic_lr(e)) for e in range(130)])
+    np.testing.assert_allclose(ours, g["lrs"], rtol=1e-6, atol=1e-12)

@@ -1,0 +1,73 @@
+"""Multi-chip paths on the 8-device virtual CPU mesh: DP train step
+(dryrun contract) and data-parallel full-volume inference
+(BASELINE configs[4])."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8  # conftest XLA_FLAGS
+
+
+def test_dryrun_multichip_contract():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)  # asserts finiteness internally
+
+
+def test_sharded_volume_predictor():
+    from tcct_tpu.data.geometry import DatasetGeometry
+    from tcct_tpu.infer.predictor import VolumePredictor
+    from tcct_tpu.models import RegNet, get_model
+    from tcct_tpu.parallel import make_mesh, replicate
+
+    mesh = make_mesh(8, ("data",))
+    net = RegNet(base=get_model("relay", 5), out_channels=5)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = net.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    geo = DatasetGeometry("tiny", 5, 0, 64, "resize", (64, 64))
+
+    plain = VolumePredictor(net, v, geo, batch_size=8, dtype=jnp.float32)
+    sharded = VolumePredictor(
+        net, replicate(mesh, v), geo, batch_size=8, dtype=jnp.float32, mesh=mesh
+    )
+    vol = np.random.default_rng(0).integers(0, 255, (16, 64, 64, 3), dtype=np.uint8)
+    a = plain.predict_scans(vol)
+    b = sharded.predict_scans(vol)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_train_step_sharded_batch_matches_replicated():
+    """DP invariance: the same batch sharded over 8 devices vs run on one
+    device gives the same loss (global BN stats + grad psum)."""
+    from tcct_tpu.models import RegNet, get_model
+    from tcct_tpu.parallel import make_mesh, replicate, shard_batch
+    from tcct_tpu.train import TrainConfig, build_train_step
+    from tcct_tpu.train.state import create_train_state, make_optimizer
+
+    n_class = 5
+    model = RegNet(base=get_model("relay", n_class), out_channels=n_class)
+    cfg = TrainConfig(n_class=n_class, crop_hw=(32, 32), ds=True)
+    opt = make_optimizer(steps_per_epoch=4)
+    state = create_train_state(
+        model, opt, jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, n_class)),
+    )
+    step = build_train_step(model, opt, cfg)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 255, (8, 48, 48, 3), dtype=np.uint8))
+    labs = jnp.asarray(rng.integers(0, n_class, (8, 48, 48)).astype(np.uint8))
+
+    _, m_plain = step(state, imgs, labs)
+
+    mesh = make_mesh(8, ("data",))
+    with mesh:
+        state_r = replicate(mesh, state)
+        imgs_s, labs_s = shard_batch(mesh, (imgs, labs))
+        _, m_shard = step(state_r, imgs_s, labs_s)
+    np.testing.assert_allclose(
+        float(m_plain["total"]), float(m_shard["total"]), rtol=1e-4
+    )

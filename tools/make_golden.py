@@ -253,7 +253,24 @@ def golden_ops():
     )
 
 
+def golden_schedule():
+    """torch CyclicLR(1e-6, 1e-4, up 4, down 60) per-epoch values
+    (reference loopback.py:128)."""
+    lin = nn.Linear(2, 2)
+    opt = torch.optim.AdamW(lin.parameters(), lr=1e-2)
+    sched = torch.optim.lr_scheduler.CyclicLR(
+        opt, base_lr=1e-6, max_lr=1e-4, cycle_momentum=False,
+        step_size_up=4, step_size_down=60,
+    )
+    lrs = []
+    for _ in range(130):
+        lrs.append(opt.param_groups[0]["lr"])
+        sched.step()
+    save("schedule", lrs=np.array(lrs, np.float64))
+
+
 if __name__ == "__main__":
+    golden_schedule()
     golden_ops()
     golden_losses()
     golden_binpool()
