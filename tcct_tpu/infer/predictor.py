@@ -41,9 +41,12 @@ class VolumePredictor:
         from tcct_tpu.train.precision import cast_floating
 
         @jax.jit
-        def _fwd(variables, x):
+        def _fwd(variables, x_u8):
+            # uint8 in, normalize on device: host->device traffic is 4x
+            # smaller than shipping f32 (this tunnel environment is
+            # transfer-bound; real hosts still save PCIe bandwidth)
             variables = cast_floating(variables, self.dtype)
-            x = x.astype(self.dtype or x.dtype)
+            x = x_u8.astype(self.dtype or jnp.float32) / 255.0
             kw = {}
             if self.fused_cnn:
                 from tcct_tpu.ops.pallas.crosscnn_fused import cross_resnet_fused
@@ -68,19 +71,23 @@ class VolumePredictor:
         n = imgs_u8.shape[0]
         bs = self.batch_size
         out = np.zeros(imgs_u8.shape[:3], np.uint8)
+        # dispatch every batch asynchronously, fetch afterwards — keeps
+        # host<->device transfers overlapped with compute
+        pending = []
         for i in range(0, n, bs):
             j = min(i + bs, n)
             chunk = imgs_u8[i:j]
             if j - i < bs:  # pad the tail to the static bucket shape
                 pad = np.zeros((bs - (j - i),) + chunk.shape[1:], chunk.dtype)
                 chunk = np.concatenate([chunk, pad], 0)
-            x = jnp.asarray(chunk.astype(np.float32) / 255.0)
+            x = jnp.asarray(chunk)
             if self.mesh is not None:
                 from tcct_tpu.parallel import shard_batch
 
                 x = shard_batch(self.mesh, x)
-            seg = np.asarray(self._fwd(self.variables, x))
-            out[i:j] = seg[: j - i]
+            pending.append((i, j, self._fwd(self.variables, x)))
+        for i, j, seg_dev in pending:
+            out[i:j] = np.asarray(seg_dev)[: j - i]
         return out
 
     def predict_volume(
