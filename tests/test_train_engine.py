@@ -47,6 +47,26 @@ def test_checkpoint_roundtrip(trainer):
     assert step_before >= int(trainer.state.step)
 
 
+def test_bitwise_resume(trainer, tmp_path):
+    """Full-TrainState checkpointing makes resume bitwise-continuous
+    (the reference loses optimizer moments and PRNG on resume,
+    loopback.py:105-121): save -> N steps -> loss must equal
+    restore -> same N steps."""
+    from tcct_tpu.train.state import restore_checkpoint, save_checkpoint
+
+    imgs, labs = trainer._dev["train"]
+    bi = jnp.arange(2)
+    save_checkpoint(str(tmp_path), trainer.state, "probe")
+    s1, m1 = trainer.train_step(trainer.state, jnp.take(imgs, bi, 0), jnp.take(labs, bi, 0))
+    _, m2 = trainer.train_step(s1, jnp.take(imgs, bi, 0), jnp.take(labs, bi, 0))
+
+    restored = restore_checkpoint(str(tmp_path), trainer.state, "probe")
+    r1, n1 = trainer.train_step(restored, jnp.take(imgs, bi, 0), jnp.take(labs, bi, 0))
+    _, n2 = trainer.train_step(r1, jnp.take(imgs, bi, 0), jnp.take(labs, bi, 0))
+    assert float(m1["total"]) == float(n1["total"])
+    assert float(m2["total"]) == float(n2["total"])
+
+
 def test_stochastic_val_reference_quirk(trainer):
     # stochastic val (reference ALB_VALID) gives keyed, reproducible results
     a = trainer.val(epoch=3)
