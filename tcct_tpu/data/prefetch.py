@@ -1,0 +1,95 @@
+"""Streaming host->device input pipeline for datasets that exceed HBM.
+
+The default path keeps whole (tiny) OCT splits device-resident
+(tcct_tpu/data/eyeset.py).  For volumes/datasets that don't fit, this
+module streams: a background thread decodes + geometry-preps batches
+with the native C++ loader (csrc/oct_loader.cpp) into a bounded queue
+while the device computes — the classic double-buffered pipeline,
+replacing the reference's DataLoader worker processes
+(task1/data/octgen.py:81-89) with native threads + async device puts.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tcct_tpu.data.geometry import DatasetGeometry
+
+
+class BatchPrefetcher:
+    """Iterate (imgs_u8_dev, labs_u8_dev) batches with background decode.
+
+    paths: list of (img_path, lab_path-or-None).  Sampling (shuffling,
+    oversampling) is the caller's job — pass the epoch's path plan.
+    """
+
+    def __init__(
+        self,
+        pairs: Sequence[Tuple[str, Optional[str]]],
+        geo: DatasetGeometry,
+        batch_size: int = 8,
+        depth: int = 2,
+        n_threads: int = 0,
+        device_put: bool = True,
+    ):
+        self.pairs = list(pairs)
+        self.geo = geo
+        self.bs = batch_size
+        self.depth = depth
+        self.n_threads = n_threads
+        self.device_put = device_put
+
+    def __len__(self) -> int:
+        return (len(self.pairs) + self.bs - 1) // self.bs
+
+    def __iter__(self) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray]]:
+        from tcct_tpu.data import native
+
+        if not native.available():
+            raise RuntimeError(
+                "native loader unavailable; use the device-resident EyeSet path"
+            )
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        geo = self.geo
+
+        def producer():
+            try:
+                for i in range(0, len(self.pairs), self.bs):
+                    chunk = self.pairs[i : i + self.bs]
+                    imgs, labs, n_ok = native.load_batch(
+                        [p[0] for p in chunk],
+                        [p[1] for p in chunk],
+                        hw=geo.prep_hw,
+                        height_stt=geo.height_stt,
+                        height_end=geo.height_end,
+                        prep_mode=geo.prep_mode,
+                        prep_reflect=geo.prep_reflect,
+                        divide=geo.divide,
+                        n_threads=self.n_threads,
+                    )
+                    q.put((imgs, labs, n_ok))
+                q.put(None)
+            except Exception as e:  # surface decode errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            imgs, labs, _ = item
+            if self.device_put:
+                # async transfer; overlaps with the consumer's compute
+                yield jnp.asarray(imgs), jnp.asarray(labs)
+            else:
+                yield imgs, labs
+        t.join()
