@@ -23,7 +23,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_inference(bs=8, hw=(256, 256), iters=30, dtype=None):
+def bench_inference(bs=8, hw=(256, 256), iters=30, dtype=None, cnn_impl="plain"):
     """Chained-dependency timing: each call's input depends on the previous
     call's output, so every iteration is a real sequential execution (the
     axon relay dedups independent identical calls, which reads 50-100x
@@ -44,7 +44,13 @@ def bench_inference(bs=8, hw=(256, 256), iters=30, dtype=None):
         from tcct_tpu.train.precision import cast_floating
 
         v = cast_floating(variables, dtype)
-        pyr, _ = net.apply(v, x.astype(dtype) if dtype else x, train=False)
+        xin = x.astype(dtype) if dtype else x
+        if cnn_impl == "packed":
+            from tcct_tpu.ops.packed_conv import ftc_forward_packed
+
+            pyr, _ = ftc_forward_packed(net, v, xin)
+        else:
+            pyr, _ = net.apply(v, xin, train=False)
         return x + jnp.mean(pyr[0].astype(jnp.float32)) * 1e-12, pyr[0]
 
     chained = jax.jit(step)
@@ -100,13 +106,13 @@ def bench_train(bs=8, hw=(256, 256), iters=20):
 
 def main():
     log(f"devices: {jax.devices()}")
-    infer_tput, infer_dt = bench_inference(dtype=jnp.bfloat16)
-    log(f"inference bf16 bs=8 256^2: {infer_dt*1e3:.2f} ms/step = {infer_tput:.1f} B-scans/s")
+    infer_tput, infer_dt = bench_inference(dtype=jnp.bfloat16, cnn_impl="packed")
+    log(f"inference bf16+packed bs=8 256^2: {infer_dt*1e3:.2f} ms/step = {infer_tput:.1f} B-scans/s")
     try:
-        f32_tput, f32_dt = bench_inference(dtype=None)
-        log(f"inference f32  bs=8 256^2: {f32_dt*1e3:.2f} ms/step = {f32_tput:.1f} B-scans/s")
+        p_tput, p_dt = bench_inference(dtype=jnp.bfloat16, cnn_impl="plain")
+        log(f"inference bf16 plain  bs=8 256^2: {p_dt*1e3:.2f} ms/step = {p_tput:.1f} B-scans/s")
     except Exception as e:
-        log(f"f32 inference bench failed: {e!r}")
+        log(f"plain inference bench failed: {e!r}")
     try:
         train_tput, train_dt = bench_train()
         log(f"train (aug+DS-dice+AdamW) bs=8 256^2: {train_dt*1e3:.2f} ms/step = {train_tput:.1f} B-scans/s")

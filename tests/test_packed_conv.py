@@ -1,0 +1,85 @@
+"""Space-to-depth packed conv transform: exactness vs fine convs, the
+CrossResNet fast path, and checkpoint-golden parity through the full FTC."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tcct_tpu.models.crosscnn import CrossResNet
+from tcct_tpu.ops.packed_conv import (
+    cross_resnet_packed,
+    pack_nhwc,
+    packed_conv,
+    packed_maxpool2,
+    unpack_nhwc,
+)
+
+
+def test_pack_roundtrip():
+    x = jnp.arange(2 * 8 * 12 * 3, dtype=jnp.float32).reshape(2, 8, 12, 3)
+    np.testing.assert_array_equal(unpack_nhwc(pack_nhwc(x)), x)
+
+
+@pytest.mark.parametrize("kh,kw", [(3, 3), (1, 13), (13, 1), (1, 1), (1, 5)])
+def test_packed_conv_exact(kh, kw):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 48, 8)).astype(np.float32))
+    W = jnp.asarray(rng.normal(size=(kh, kw, 8, 16)).astype(np.float32)) * 0.1
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, W, (1, 1), ((kh // 2, kh // 2), (kw // 2, kw // 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    got = unpack_nhwc(packed_conv(pack_nhwc(x), W, b))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=1e-5, atol=1e-5)
+
+
+def test_packed_maxpool_exact():
+    from tcct_tpu.ops.pool import max_pool_2d
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 16, 24, 4)).astype(np.float32))
+    ref = max_pool_2d(x, 2)
+    got = packed_maxpool2(pack_nhwc(x))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+@pytest.mark.parametrize("n_packed", [1, 2, 3])
+def test_cross_resnet_packed(n_packed):
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 64, 128, 3)).astype(np.float32))
+    net = CrossResNet(tiny=True)
+    v = net.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    bs = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.normal(size=a.shape).astype(np.float32)) ** 2 + 0.5,
+        v["batch_stats"],
+    )
+    refs = net.apply({"params": v["params"], "batch_stats": bs}, x, train=False)
+    gots = cross_resnet_packed(x, v["params"], bs, n_packed=n_packed)
+    for r, g in zip(refs, gots):
+        assert r.shape == g.shape
+        np.testing.assert_allclose(np.asarray(r), np.asarray(g), rtol=2e-3, atol=2e-3)
+
+
+def test_packed_full_model_golden(golden):
+    """Shipped-checkpoint parity through the full FTC with the packed CNN
+    branch injected — the serving configuration."""
+    import os
+
+    from tcct_tpu.infer.importer import import_torch_checkpoint
+    from tcct_tpu.models import RegNet, get_model
+    from tcct_tpu.ops.packed_conv import ftc_forward_packed
+
+    path = "/root/reference/task1/onnx/tcct_goals.pt"
+    if not os.path.exists(path):
+        pytest.skip("reference checkpoint unavailable")
+    g = golden("ckpt_forward_goals")
+    net = RegNet(base=get_model("stc_tt", 5, variant="infer"), out_channels=5)
+    x = jnp.asarray(np.moveaxis(g["x"], 1, -1))
+    v = net.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    v, _ = import_torch_checkpoint(path, v)
+    ys, _ = ftc_forward_packed(net, v, x)
+    ref = np.moveaxis(g["y0"], 1, -1)
+    np.testing.assert_allclose(np.asarray(ys[0]), ref, rtol=1e-3, atol=5e-4)
+    assert (np.argmax(np.asarray(ys[0]), -1) == np.argmax(ref, -1)).mean() > 0.999
