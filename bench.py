@@ -77,7 +77,9 @@ def bench_train(bs=8, hw=(256, 256), iters=20):
 
     n_class = 5
     model = RegNet(base=get_model("stc_tt", n_class), out_channels=n_class)
-    cfg = TrainConfig(n_class=n_class, crop_hw=hw, ds=True, dtype=jnp.bfloat16)
+    cfg = TrainConfig(
+        n_class=n_class, crop_hw=hw, ds=True, dtype=jnp.bfloat16, packed_cnn=True
+    )
     opt = make_optimizer(steps_per_epoch=100)
     state = create_train_state(
         model,

@@ -60,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stochastic_val", type=str2bool, default=True,
                    help="reproduce the reference's random val-time flips (octgen.py:21-25)")
     p.add_argument("--import_pt", type=str, default="", help="torch .pt checkpoint to import before training")
+    p.add_argument("--packed_cnn", type=str2bool, default=False,
+                   help="space-to-depth CNN branch in training (exact, ~1.3x; FTC models, crop %% 32 == 0)")
     return p
 
 
@@ -89,6 +91,7 @@ def main(argv=None):
         coff_epl=args.coff_epl,
         crop_hw=(args.crop, args.crop),
         n_class=nc,
+        packed_cnn=args.packed_cnn,
     )
     trainer = Trainer(
         net,

@@ -108,11 +108,16 @@ class RegNet(nn.Module):
         use_udh: bool = False,
         use_reg: bool = False,
         use_epl: bool = False,
+        cnn_feats=None,
     ):
         """Single-apply forward + auxiliary losses (one traced graph, so
         XLA fuses everything into the train step — the reference's
-        separate calc_loss round-trips, loop_seg.py:146-171, collapse)."""
-        pyr, feats = self.base(x, train=train)
+        separate calc_loss round-trips, loop_seg.py:146-171, collapse).
+
+        ``cnn_feats``: externally computed CNN pyramid (e.g. the packed
+        space-to-depth path) injected into an FTC base."""
+        kw = {"cnn_feats": cnn_feats} if cnn_feats is not None else {}
+        pyr, feats = self.base(x, train=train, **kw)
         aux = {}
         if use_udh:
             aux["udh"] = self.regular_udh(feats, pyr[0], true)

@@ -160,6 +160,85 @@ def _packed_block(xp, params: Dict, stats: Dict):
     return affine("block5_2", _lrelu(y))
 
 
+# ---------------------------------------------------------------------------
+# training path: phase-aware BN batch statistics
+# ---------------------------------------------------------------------------
+
+def _bn_train_packed(xp, bn: Dict, stats: Dict, momentum: float = 0.9, eps: float = 1e-5):
+    """Train-mode BatchNorm on the packed layout.
+
+    Fine-channel statistics reduce over (B, H, W) — on the packed tensor
+    that is (B, h, w, the 4 phase groups), the exact same element set, so
+    numerics match flax BatchNorm up to reassociation.  Returns the
+    normalized tensor and the EMA-updated running stats."""
+    B, h, w, C4 = xp.shape
+    C = C4 // 4
+    xf = xp.reshape(B, h, w, 4, C).astype(jnp.float32)
+    mean = xf.mean(axis=(0, 1, 2, 3))
+    var = (xf * xf).mean(axis=(0, 1, 2, 3)) - mean * mean
+    inv = bn["scale"] / jnp.sqrt(var + eps)
+    y = xp * tile4(inv).astype(xp.dtype) + tile4(bn["bias"] - mean * inv).astype(xp.dtype)
+    new_stats = {
+        "mean": momentum * stats["mean"] + (1 - momentum) * mean,
+        "var": momentum * stats["var"] + (1 - momentum) * var,
+    }
+    return y, new_stats
+
+
+def _packed_block_train(xp, params: Dict, stats: Dict):
+    dt = xp.dtype
+    new_stats = {}
+
+    def conv(name, src):
+        p = params[name]
+        return packed_conv(src, p["kernel"], p["bias"])
+
+    def bn(name, src):
+        y, ns = _bn_train_packed(src, params[name], stats[name])
+        new_stats[name] = ns
+        return y
+
+    a = conv("block12_1", conv("block12_0", xp).astype(dt)).astype(dt)
+    a = bn("block12_3", _lrelu(a))
+    b = conv("block34_0", xp).astype(dt)
+    b = conv("block34_1", b).astype(dt)
+    b = conv("block34_2", b).astype(dt)
+    b = bn("block34_4", _lrelu(b))
+    g = _gelu(a + b)
+    y = conv("block5_0", g.astype(dt)).astype(dt)
+    return bn("block5_2", _lrelu(y)), new_stats
+
+
+def cross_resnet_packed_train(x, params: Dict, stats: Dict):
+    """Train-mode CrossResNet on the packed layout (all 5 levels).
+    Returns (5 unpacked pre-pool feature maps, updated batch_stats
+    subtree).  Differentiable; grads flow to ``params`` as usual."""
+    dt = x.dtype
+    new_stats: Dict = {}
+    xp = pack_nhwc(x)
+    y = packed_conv(xp, params["cnn_0"]["kernel"].astype(dt), params["cnn_0"]["bias"]).astype(dt)
+    y, new_stats["cnn_1"] = _bn_train_packed(y, params["cnn_1"], stats["cnn_1"])
+    y = y.astype(dt)
+    xs: List[jnp.ndarray] = []
+    for level in range(5):
+        y, ns = _packed_block_train(
+            y, params[f"path_estan_{level}"], stats[f"path_estan_{level}"]
+        )
+        y = y.astype(dt)
+        new_stats[f"path_estan_{level}"] = ns
+        xs.append(unpack_nhwc(y))
+        pooled = packed_maxpool2(y)
+        if level < 4:
+            if pooled.shape[1] % 2 == 0 and pooled.shape[2] % 2 == 0:
+                y = pack_nhwc(pooled)
+            else:
+                raise ValueError(
+                    f"packed training needs even dims at every level; got "
+                    f"{pooled.shape} at level {level}"
+                )
+    return xs, new_stats
+
+
 def ftc_forward_packed(model, variables, x, n_packed: int = 2):
     """Full FTC/RegNet forward (eval) with the CNN branch on the packed
     layout: compute the pyramid with ``cross_resnet_packed`` and inject

@@ -53,6 +53,9 @@ class TrainConfig:
     dtype: Any = jnp.float32
     remat: bool = False  # rematerialize the forward in backward (trade
     #                      FLOPs for HBM; useful for big crops / batches)
+    packed_cnn: bool = False  # space-to-depth CNN branch in training
+    #                           (exact rewrite, phase-aware BN stats;
+    #                           FTC models, crop divisible by 32)
 
 
 def build_train_step(model, optimizer, cfg: TrainConfig, jit: bool = True) -> Callable:
@@ -67,7 +70,20 @@ def build_train_step(model, optimizer, cfg: TrainConfig, jit: bool = True) -> Ca
             "prototypes": cast_floating(prototypes, cfg.dtype),
         }
         def fwd(variables, img, true_oh):
-            return model.apply(
+            cnn_feats = None
+            cnn_new_stats = None
+            if cfg.packed_cnn:
+                from tcct_tpu.ops.packed_conv import cross_resnet_packed_train
+
+                # exact space-to-depth rewrite of the CNN branch; grads
+                # flow to the same params, BN stats EMA-updated from the
+                # f32 masters
+                cnn_feats, cnn_new_stats = cross_resnet_packed_train(
+                    img,
+                    variables["params"]["base"]["base_cnn"],
+                    batch_stats["base"]["base_cnn"],
+                )
+            out, updates = model.apply(
                 variables,
                 img,
                 true_oh,
@@ -76,10 +92,18 @@ def build_train_step(model, optimizer, cfg: TrainConfig, jit: bool = True) -> Ca
                 use_udh=cfg.udh,
                 use_reg=cfg.reg,
                 use_epl=cfg.epl,
+                cnn_feats=cnn_feats,
                 method=type(model).forward_with_losses,
                 mutable=["batch_stats"],
                 rngs=rngs,
             )
+            if cnn_new_stats is not None:
+                bs = dict(updates.get("batch_stats", batch_stats))
+                base = dict(bs["base"])
+                base["base_cnn"] = cnn_new_stats
+                bs["base"] = base
+                updates = {**updates, "batch_stats": bs}
+            return out, updates
 
         if cfg.remat:
             fwd = jax.checkpoint(fwd)

@@ -83,3 +83,30 @@ def test_packed_full_model_golden(golden):
     ref = np.moveaxis(g["y0"], 1, -1)
     np.testing.assert_allclose(np.asarray(ys[0]), ref, rtol=1e-3, atol=5e-4)
     assert (np.argmax(np.asarray(ys[0]), -1) == np.argmax(ref, -1)).mean() > 0.999
+
+
+def test_packed_training_matches_plain():
+    """Two full optimizer steps with the packed CNN branch match the
+    plain path bit-close (loss and BN running stats)."""
+    from tcct_tpu.models import RegNet, get_model
+    from tcct_tpu.train import TrainConfig, build_train_step
+    from tcct_tpu.train.state import create_train_state, make_optimizer
+
+    model = RegNet(base=get_model("stc_tt", 5), out_channels=5)
+    opt = make_optimizer(steps_per_epoch=4)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8))
+    labs = jnp.asarray(rng.integers(0, 5, (2, 64, 64)).astype(np.uint8))
+    losses = {}
+    for packed in [False, True]:
+        cfg = TrainConfig(n_class=5, crop_hw=(64, 64), ds=True, packed_cnn=packed)
+        state = create_train_state(
+            model, opt, jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 5)),
+        )
+        step = build_train_step(model, opt, cfg)
+        s1, m1 = step(state, imgs, labs)
+        _, m2 = step(s1, imgs, labs)
+        losses[packed] = (float(m1["total"]), float(m2["total"]))
+    assert abs(losses[False][0] - losses[True][0]) < 1e-3
+    assert abs(losses[False][1] - losses[True][1]) < 1e-3
