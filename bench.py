@@ -23,7 +23,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_inference(bs=8, hw=(256, 256), iters=30, dtype=None, cnn_impl="plain"):
+def bench_inference(bs=8, hw=(256, 256), iters=30, dtype=None, cnn_impl="plain", mixer="metapool"):
     """Chained-dependency timing: each call's input depends on the previous
     call's output, so every iteration is a real sequential execution (the
     axon relay dedups independent identical calls, which reads 50-100x
@@ -31,7 +31,10 @@ def bench_inference(bs=8, hw=(256, 256), iters=30, dtype=None, cnn_impl="plain")
     from tcct_tpu.models import RegNet, get_model
 
     n_class = 5
-    net = RegNet(base=get_model("stc_tt", n_class, variant="infer"), out_channels=n_class)
+    net = RegNet(
+        base=get_model("stc_tt", n_class, variant="infer", mixer=mixer),
+        out_channels=n_class,
+    )
     x = jnp.ones((bs, hw[0], hw[1], 3), jnp.float32)
     t0 = time.time()
     variables = jax.jit(
@@ -108,8 +111,10 @@ def bench_train(bs=8, hw=(256, 256), iters=20):
 
 def main():
     log(f"devices: {jax.devices()}")
-    infer_tput, infer_dt = bench_inference(dtype=jnp.bfloat16, cnn_impl="packed")
-    log(f"inference bf16+packed bs=8 256^2: {infer_dt*1e3:.2f} ms/step = {infer_tput:.1f} B-scans/s")
+    infer_tput, infer_dt = bench_inference(
+        dtype=jnp.bfloat16, cnn_impl="packed", mixer="metapool_pallas"
+    )
+    log(f"inference bf16+packed+pallas-mixer bs=8 256^2: {infer_dt*1e3:.2f} ms/step = {infer_tput:.1f} B-scans/s")
     try:
         p_tput, p_dt = bench_inference(dtype=jnp.bfloat16, cnn_impl="plain")
         log(f"inference bf16 plain  bs=8 256^2: {p_dt*1e3:.2f} ms/step = {p_tput:.1f} B-scans/s")

@@ -18,6 +18,15 @@ def test_dryrun_multichip_contract():
     g.dryrun_multichip(8)  # asserts finiteness internally
 
 
+def test_entry_contract():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (1, 256, 256, 5)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
 def test_sharded_volume_predictor():
     from tcct_tpu.data.geometry import DatasetGeometry
     from tcct_tpu.infer.predictor import VolumePredictor
