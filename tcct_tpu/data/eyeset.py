@@ -86,11 +86,8 @@ def synthesize_oct(
         xs = np.linspace(0, 2 * np.pi, W)[None, :]
         bounds = base[:, None] + amp * np.sin(freq * xs + phase)
         bounds = np.sort(bounds, axis=0)  # keep layers ordered
-        lab = np.zeros((H, W), np.uint8)
-        for c in range(nc - 1):
-            lab += (yy >= bounds[c]) & (yy < bounds[-1] if c == nc - 2 else yy >= 0)
-        # recompute cleanly: class = #boundaries above y, clipped; bg where
-        # above first boundary or below last
+        # class = number of boundaries above y (0..nc-1); the region below
+        # the last boundary maps back to background
         cnt = (yy[None] >= bounds[:, None, :]).sum(0)  # [H,W] in 0..nc-1
         lab = np.where(cnt == nc - 1, 0, cnt).astype(np.uint8)
         intens = rng.uniform(40, 220, size=(nc,))

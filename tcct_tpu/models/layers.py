@@ -36,31 +36,6 @@ def conv_init(fan: str = "fan_out", scale: float = 2.0):
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
 
 
-class Conv(nn.Module):
-    """2D conv (NHWC), torch-default bias=True unless stated."""
-
-    features: int
-    kernel_size: tuple = (3, 3)
-    strides: tuple = (1, 1)
-    padding: Any = "SAME"
-    groups: int = 1
-    use_bias: bool = True
-    kernel_init: Callable = conv_init()
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.Conv(
-            features=self.features,
-            kernel_size=self.kernel_size,
-            strides=self.strides,
-            padding=self.padding,
-            feature_group_count=self.groups,
-            use_bias=self.use_bias,
-            kernel_init=self.kernel_init,
-            name="conv2d",
-        )(x)
-
-
 def conv2d(
     features,
     kernel_size=3,

@@ -65,14 +65,14 @@ def _gelu_exact(x):
 
 
 def _conv_im2col(src, w_ref, b_ref, taps_h: int, taps_w: int):
-    """src [H, W, C] -> out [H-th+1, W-tw+1, Co] via one MXU contraction
-    with a tap-packed K dimension (K = taps*C).
+    """src [H, W, C] -> out [H-th+1, W-tw+1, Co]: per-tap accumulated
+    3-D dots (single contracting dim over C).
 
-    The patch tensor is laid out taps-major ([taps, Ho, Wo, C]) so every
-    per-tap scratch store is a fully lane-aligned block copy (channel-
-    offset stores rotate lanes and are slow; vector concatenation of
-    shifted slices doesn't lower at all).  The conv is then one
-    dot_general contracting (tap, c) all at once.
+    This is the only formulation current Mosaic lowers: tap-packed
+    K = taps*C would need either vector concatenation of lane-misaligned
+    shifted slices (doesn't lower), channel-offset scratch stores (lane-
+    rotate, slow), or a multi-dim tpu.matmul contraction (rejected) —
+    see the module STATUS note.
 
     w_ref: [taps, C, Co] (tap-major); b_ref: [1, Co]."""
     H, W, C = src.shape
