@@ -9,7 +9,10 @@ segmentation PNG.
     python examples/predict_duke.py [image.png] [out.png]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
