@@ -26,6 +26,17 @@ def _uniform_like(rng, shape):
     return jax.random.uniform(rng, shape, jnp.float32)
 
 
+def soft_argmax(x, beta: float = 100.0):
+    """Differentiable argmax over the channel axis (reference
+    nets/reg.py:27-35): expected class index under softmax(x*beta).
+    NHWC: returns [B, H, W, 1]."""
+    soft = jnp.clip(jax.nn.softmax(x * beta, axis=-1), 0.0, 1.0)
+    idx = jnp.arange(x.shape[-1], dtype=x.dtype).reshape(
+        (1,) * (x.ndim - 1) + (-1,)
+    )
+    return jnp.sum(soft * idx, axis=-1, keepdims=True)
+
+
 def sampling_softmax(x, rng=None, eps_floor: float = 1e-20):
     """Gumbel-perturbed column softmax over height, renormalised
     (reference reg.py:118-126)."""

@@ -112,6 +112,60 @@ def get_loss(name: str = "di", **_):
     return MultiLoss(MSELoss())
 
 
+@dataclasses.dataclass(frozen=True)
+class MDiceLoss:
+    """Soft multi-class dice training loss (reference miou.py:64-117):
+    softmax over classes, per-(sample,class) dice, 1 - mean."""
+
+    bi: bool = False
+
+    def __call__(self, pr, gt):
+        nc = pr.shape[-1]
+        B = pr.shape[0]
+        if gt.ndim == pr.ndim - 1 or gt.shape[-1] != nc:
+            gt = jax.nn.one_hot(gt, nc, dtype=jnp.float32)
+        pr = jax.nn.softmax(pr, axis=-1)
+        prf = pr.reshape(B, -1, nc).transpose(0, 2, 1)
+        gtf = gt.reshape(B, -1, nc).transpose(0, 2, 1)
+
+        def dice(p, g, smooth=1e-6):
+            inter = jnp.sum(p * g, -1) + smooth
+            union = jnp.sum(p, -1) + jnp.sum(g, -1) + smooth
+            return 1.0 - jnp.sum(2.0 * inter / union) / (B * nc)
+
+        if self.bi:
+            return dice(prf, gtf) + dice(1 - prf, 1 - gtf)
+        return dice(prf, gtf)
+
+
+@dataclasses.dataclass(frozen=True)
+class CrossEntropyLoss:
+    """torch nn.CrossEntropyLoss equivalent (mean, optional class weights)."""
+
+    weight: Sequence[float] | None = None
+
+    def __call__(self, pr, gt):
+        nc = pr.shape[-1]
+        if gt.ndim == pr.ndim:  # one-hot -> indices
+            gt = jnp.argmax(gt, -1)
+        logp = jax.nn.log_softmax(pr, axis=-1)
+        nll = -jnp.take_along_axis(logp, gt[..., None], axis=-1)[..., 0]
+        if self.weight is not None:
+            w = jnp.asarray(self.weight)[gt]
+            return jnp.sum(nll * w) / jnp.sum(w)
+        return jnp.mean(nll)
+
+
+def get_mloss(name: str = "di", weight=None):
+    """Reference kite/losses/lossm.py:8-21 (unused upstream, live here):
+    'di' -> soft MDice, 'd2' -> bi-dice, else CrossEntropy."""
+    if name == "di":
+        return MDiceLoss(bi=False)
+    if name == "d2":
+        return MDiceLoss(bi=True)
+    return CrossEntropyLoss(weight=weight)
+
+
 # ---------------------------------------------------------------------------
 # Validation scores (reference miou.py:22-117) — per-sample means
 # ---------------------------------------------------------------------------

@@ -76,3 +76,17 @@ def test_cyclic_lr_matches_torch(golden):
     g = golden("schedule")
     ours = np.array([float(cyclic_lr(e)) for e in range(130)])
     np.testing.assert_allclose(ours, g["lrs"], rtol=1e-6, atol=1e-12)
+
+
+def test_get_mloss_and_soft_argmax(golden):
+    from tcct_tpu.losses.seg import get_mloss
+    from tcct_tpu.losses.boundary import soft_argmax
+
+    g = golden("lossm")
+    x = _nhwc(g["x"])
+    lab = jnp.asarray(g["lab"])
+    np.testing.assert_allclose(get_mloss("di")(x, lab), g["mdice"], rtol=1e-5)
+    np.testing.assert_allclose(get_mloss("d2")(x, lab), g["mdice2"], rtol=1e-5)
+    np.testing.assert_allclose(get_mloss("ce")(x, lab), g["ce"], rtol=1e-5)
+    ref = np.moveaxis(g["soft_argmax"], 1, -1)
+    np.testing.assert_allclose(soft_argmax(x), ref, rtol=1e-4, atol=1e-5)
