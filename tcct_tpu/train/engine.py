@@ -108,6 +108,38 @@ class Trainer:
             idx = np.tile(idx, -(-need // max(len(idx), 1)))
         return idx[:need].reshape(self.steps_per_epoch, self.bs)
 
+    def train_epoch_streaming(self, epoch: int) -> Dict[str, float]:
+        """Epoch over on-disk files via the native prefetch pipeline
+        (tcct_tpu/data/prefetch.py) — for datasets that exceed HBM.
+        Requires the dataset to carry train paths (not synthetic)."""
+        from tcct_tpu.data.prefetch import BatchPrefetcher
+
+        img_paths = self.dataset.paths.get("train") or []
+        if not img_paths:
+            raise RuntimeError("streaming needs on-disk train paths")
+        lab_paths = [
+            p.replace("train_img", "train_lab").replace("val_img", "val_lab")
+            for p in img_paths
+        ]
+        rng = np.random.default_rng(311 * epoch + 2023)
+        order = np.tile(np.arange(len(img_paths)), self.dataset.oversample)
+        rng.shuffle(order)
+        pairs = [(img_paths[i], lab_paths[i]) for i in order]
+        state = self.state
+        los_sum, metrics, steps = 0.0, {}, 0
+        for imgs, labs in BatchPrefetcher(pairs, self.dataset.geo, batch_size=self.bs):
+            if imgs.shape[0] < self.bs:
+                break  # static-shape step; drop the ragged tail
+            state, metrics = self.train_step(state, imgs, labs)
+            los_sum += float(metrics["total"])
+            steps += 1
+            if self.debug and steps >= 12:
+                break
+        self.state = state.replace(epoch=state.epoch + 1)
+        out = {k: float(v) for k, v in metrics.items()}
+        out["los_epoch"] = los_sum
+        return out
+
     def train_epoch(self, epoch: int, scan: bool = True) -> Dict[str, float]:
         imgs, labs = self._dev["train"]
         idx_plan = jnp.asarray(self._epoch_indices(epoch))

@@ -53,3 +53,33 @@ def test_prefetcher_decode_error_surfaces(disk_pairs):
     pf = BatchPrefetcher([("/nope.png", None)], geo, batch_size=1, device_put=False)
     (imgs, labs) = next(iter(pf))
     assert imgs.sum() == 0
+
+
+def test_streaming_trainer_from_disk(tmp_path):
+    """Real directory layout (train_img/train_lab) -> EyeSet (non-synthetic
+    branch) -> streaming epoch through BatchPrefetcher + train step."""
+    import jax
+    import numpy as np
+
+    from tcct_tpu.data import EyeSet
+    from tcct_tpu.models import RegNet, get_model
+    from tcct_tpu.train import TrainConfig, Trainer
+
+    root = str(tmp_path)
+    import os
+
+    os.makedirs(root + "/goals/train_img")
+    os.makedirs(root + "/goals/train_lab")
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = rng.integers(0, 255, (200, 512, 3), dtype=np.uint8)
+        lab = (rng.integers(0, 5, (200, 512)) * 30).astype(np.uint8)
+        cv2.imwrite(f"{root}/goals/train_img/{i}.png", img)
+        cv2.imwrite(f"{root}/goals/train_lab/{i}.png", lab)
+    ds = EyeSet.load("goals", root=root)
+    assert not ds.synthetic and len(ds.paths["train"]) == 4
+    model = RegNet(base=get_model("relay", ds.out_channels), out_channels=ds.out_channels)
+    cfg = TrainConfig(n_class=ds.out_channels, crop_hw=(64, 64), ds=True)
+    tr = Trainer(model, ds, cfg, root=str(tmp_path / "exp"), bs=2, debug=True)
+    logs = tr.train_epoch_streaming(epoch=0)
+    assert np.isfinite(logs["los_epoch"]) and logs["los_epoch"] > 0
