@@ -26,6 +26,15 @@ def make_mesh(
 ) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise RuntimeError(
+            f"make_mesh: need {n} devices, only {len(devs)} visible "
+            f"(platform={devs[0].platform if devs else '?'}). For a virtual "
+            "mesh, set XLA_FLAGS=--xla_force_host_platform_device_count=<n> "
+            "and jax_platforms=cpu BEFORE the jax backend initializes "
+            "(see tests/conftest.py), or use "
+            "__graft_entry__.dryrun_multichip which self-provisions one."
+        )
     devs = np.array(devs[:n])
     if len(axis_names) == 1:
         shape = (n,)
