@@ -79,6 +79,22 @@ def main(argv=None):
     base = get_model(args.net, nc, variant=args.variant, mixer=args.mixer)
     net = RegNet(base=base, out_channels=nc, con=args.type_udh)
 
+    # --pl: data-parallel over the ('data',) mesh (the reference parses the
+    # same flag and silently ignores it, task1/kite/main.py:47). The mesh
+    # spans the largest device count that divides the global batch, so the
+    # batch semantics are identical to single-device.
+    mesh = None
+    if args.pl:
+        import jax
+
+        from tcct_tpu.parallel import make_mesh, pick_dp_devices
+
+        ndev = len(jax.devices())
+        n = pick_dp_devices(args.bs, ndev)
+        if n > 1:
+            mesh = make_mesh(n)
+            print(f"DATA-PARALLEL: bs={args.bs} over {n}/{ndev} devices")
+
     cfg = TrainConfig(
         loss="di" if args.los in ("di", "dice") else "mse",
         ds=args.ds,
@@ -103,6 +119,7 @@ def main(argv=None):
         weight_decay=args.wd,
         debug=args.bug,
         stochastic_val=args.stochastic_val,
+        mesh=mesh,
     )
     if args.import_pt:
         from tcct_tpu.infer import import_torch_checkpoint
@@ -115,6 +132,7 @@ def main(argv=None):
             batch_stats=variables["batch_stats"],
             prototypes=variables["prototypes"],
         )
+        trainer.place_state()
         print("imported:", report)
     if args.resume:
         print("resumed:", trainer.resume("val_top") or trainer.resume("last"))

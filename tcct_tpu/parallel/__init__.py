@@ -1,1 +1,1 @@
-from tcct_tpu.parallel.mesh import make_mesh, shard_batch, replicate, data_sharding
+from tcct_tpu.parallel.mesh import make_mesh, shard_batch, replicate, data_sharding, pick_dp_devices

@@ -44,6 +44,12 @@ def make_mesh(
     return Mesh(devs.reshape(shape), axis_names)
 
 
+def pick_dp_devices(bs: int, n_devices: int) -> int:
+    """Largest device count <= n_devices that divides the global batch, so
+    DP keeps single-device batch semantics exactly (CLI --pl)."""
+    return max(d for d in range(1, max(n_devices, 1) + 1) if bs % d == 0)
+
+
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Shard the leading (batch) axis over 'data', replicate the rest."""
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))

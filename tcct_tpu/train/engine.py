@@ -56,6 +56,8 @@ class Trainer:
         mesh=None,
         debug: bool = False,
         stochastic_val: bool = True,
+        streaming: Optional[bool] = None,
+        hbm_budget_bytes: Optional[int] = None,
     ):
         self.model = model
         self.dataset = dataset
@@ -81,17 +83,56 @@ class Trainer:
         self.state = create_train_state(
             model, self.optimizer, rng, sample_img, sample_true
         )
-        self.train_step = build_train_step(model, self.optimizer, cfg)
-        self.train_epoch_fn = build_train_epoch(model, self.optimizer, cfg)
-        self.eval_step = build_eval_step(model, cfg, stochastic_val=stochastic_val)
         self.mesh = mesh
+        if mesh is not None and bs % mesh.size != 0:
+            raise ValueError(
+                f"batch size {bs} must be divisible by the {mesh.size}-device "
+                "('data',) mesh for DP training"
+            )
+        self.train_step = build_train_step(model, self.optimizer, cfg, mesh=mesh)
+        self.train_epoch_fn = build_train_epoch(model, self.optimizer, cfg, mesh=mesh)
+        self.eval_step = build_eval_step(
+            model, cfg, stochastic_val=stochastic_val, mesh=mesh
+        )
 
-        # device-resident dataset
+        # streaming decision BEFORE materializing the dataset on device:
+        # auto-stream when the train split exceeds the HBM budget and
+        # on-disk paths exist (reference analogue: DataLoader workers,
+        # task1/data/octgen.py:81-89)
+        if hbm_budget_bytes is None:
+            hbm_budget_bytes = int(os.environ.get("TCCT_HBM_BUDGET", 2 << 30))
+        train_bytes = sum(a.nbytes for a in dataset.splits["train"])
+        has_paths = bool(dataset.paths.get("train"))
+        if streaming is None:
+            streaming = has_paths and train_bytes > hbm_budget_bytes
+        if streaming and not has_paths:
+            raise ValueError("streaming=True needs on-disk train paths")
+        self.streaming = streaming
+
+        # device-resident dataset (replicated across the mesh under DP so
+        # the in-scan batch gather is local; batches reshard to ('data',)
+        # inside the step).  In streaming mode the train split stays on
+        # disk; val/test are small and stay device-resident.
         self._dev = {
             split: (jnp.asarray(im), jnp.asarray(lb))
             for split, (im, lb) in dataset.splits.items()
+            if not (streaming and split == "train")
         }
+        if mesh is not None:
+            from tcct_tpu.parallel.mesh import replicate
+
+            self._dev = {k: replicate(mesh, v) for k, v in self._dev.items()}
+        self.place_state()
         self.best_dice = -1.0
+
+    def place_state(self):
+        """(Re-)place the TrainState for the execution layout: replicated
+        across the DP mesh, or left on the default device.  Call after any
+        out-of-band state mutation (resume, checkpoint import)."""
+        if self.mesh is not None:
+            from tcct_tpu.parallel.mesh import replicate
+
+            self.state = replicate(self.mesh, self.state)
 
     # -- epoch loops ---------------------------------------------------------
 
@@ -111,7 +152,13 @@ class Trainer:
     def train_epoch_streaming(self, epoch: int) -> Dict[str, float]:
         """Epoch over on-disk files via the native prefetch pipeline
         (tcct_tpu/data/prefetch.py) — for datasets that exceed HBM.
-        Requires the dataset to carry train paths (not synthetic)."""
+        Requires the dataset to carry train paths (not synthetic).
+
+        No per-step host syncs: loss scalars stay on device until the end
+        of the epoch, so dispatch overlaps the prefetch pipeline.  The
+        ragged tail batch trains at its natural shape (one extra compile;
+        replicated, not sharded, under DP) — same semantics as the
+        reference's drop_last=False DataLoader."""
         from tcct_tpu.data.prefetch import BatchPrefetcher
 
         img_paths = self.dataset.paths.get("train") or []
@@ -126,18 +173,21 @@ class Trainer:
         rng.shuffle(order)
         pairs = [(img_paths[i], lab_paths[i]) for i in order]
         state = self.state
-        los_sum, metrics, steps = 0.0, {}, 0
+        totals, metrics = [], {}
+        if self.mesh is not None:
+            from tcct_tpu.parallel.mesh import shard_batch
         for imgs, labs in BatchPrefetcher(pairs, self.dataset.geo, batch_size=self.bs):
-            if imgs.shape[0] < self.bs:
-                break  # static-shape step; drop the ragged tail
-            state, metrics = self.train_step(state, imgs, labs)
-            los_sum += float(metrics["total"])
-            steps += 1
-            if self.debug and steps >= 12:
+            batch = (jnp.asarray(imgs), jnp.asarray(labs))
+            if self.mesh is not None and imgs.shape[0] % self.mesh.size == 0:
+                batch = shard_batch(self.mesh, batch)
+            state, metrics = self.train_step(state, *batch)
+            totals.append(metrics["total"])
+            if self.debug and len(totals) >= 12:
                 break
         self.state = state.replace(epoch=state.epoch + 1)
+        losses = np.asarray(jax.device_get(totals), np.float64)
         out = {k: float(v) for k, v in metrics.items()}
-        out["los_epoch"] = los_sum
+        out["los_epoch"] = float(losses.sum())
         return out
 
     def train_epoch(self, epoch: int, scan: bool = True) -> Dict[str, float]:
@@ -193,7 +243,11 @@ class Trainer:
         last_logs: Dict[str, Any] = {}
         for epoch in range(start, 1 if self.debug else epochs):
             t0 = time.time()
-            train_logs = self.train_epoch(epoch)
+            train_logs = (
+                self.train_epoch_streaming(epoch)
+                if self.streaming
+                else self.train_epoch(epoch)
+            )
             do_val = epoch % 10 == 0 or (epoch > 0.5 * epochs and epoch % 5 == 0)
             if do_val or self.debug:
                 logs = self.val(epoch=epoch)
@@ -252,4 +306,5 @@ class Trainer:
         if restored is None:
             return False
         self.state = restored
+        self.place_state()
         return True

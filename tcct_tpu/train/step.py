@@ -58,7 +58,38 @@ class TrainConfig:
     #                           FTC models, crop divisible by 32)
 
 
-def build_train_step(model, optimizer, cfg: TrainConfig, jit: bool = True) -> Callable:
+def _constrain_data(mesh, *arrays, strict: bool = False):
+    """Pin the leading (batch) axis of each array to the ('data',) mesh axis.
+
+    Runs at trace time (shapes are static under jit), so the divisibility
+    check is free.  ``strict`` raises on a non-divisible batch (training
+    must actually shard); non-strict passes ragged batches through
+    replicated (eval tail batches).
+    """
+    if mesh is None:
+        return arrays if len(arrays) > 1 else arrays[0]
+    from tcct_tpu.parallel.mesh import data_sharding
+
+    n = mesh.size
+    out = []
+    for a in arrays:
+        if a.shape[0] % n == 0:
+            out.append(
+                jax.lax.with_sharding_constraint(a, data_sharding(mesh, a.ndim))
+            )
+        elif strict:
+            raise ValueError(
+                f"DP train step: batch size {a.shape[0]} not divisible by the "
+                f"{n}-device ('data',) mesh — pick bs % {n} == 0 or drop the mesh"
+            )
+        else:
+            out.append(a)
+    return tuple(out) if len(out) > 1 else out[0]
+
+
+def build_train_step(
+    model, optimizer, cfg: TrainConfig, jit: bool = True, mesh=None
+) -> Callable:
     criterion = get_loss(cfg.loss)
 
     def loss_fn(params, batch_stats, prototypes, img, true_oh, rngs, rng_reg):
@@ -131,6 +162,9 @@ def build_train_step(model, optimizer, cfg: TrainConfig, jit: bool = True) -> Ca
         return los, (new_bs, metrics)
 
     def train_step(state: TrainState, imgs_u8, labs_u8):
+        # non-strict: a ragged tail batch (streaming epochs) runs replicated;
+        # batch-size/mesh compatibility is validated at Trainer init
+        imgs_u8, labs_u8 = _constrain_data(mesh, imgs_u8, labs_u8, strict=False)
         k_aug, k_gate, k_dp, k_reg, k_next = jax.random.split(
             jax.random.fold_in(state.rng, state.step), 5
         )
@@ -166,13 +200,17 @@ def build_train_step(model, optimizer, cfg: TrainConfig, jit: bool = True) -> Ca
     return jax.jit(train_step) if jit else train_step
 
 
-def build_train_epoch(model, optimizer, cfg: TrainConfig) -> Callable:
+def build_train_epoch(model, optimizer, cfg: TrainConfig, mesh=None) -> Callable:
     """Whole-epoch training as ONE compiled program: ``lax.scan`` over the
     per-epoch shuffled index plan, gathering batches from the
     device-resident dataset.  Against the reference's per-batch
     DataLoader-fork + H2D + multi-launch loop (loop_seg.py:108-142), an
-    epoch is a single XLA executable with zero host round-trips."""
-    step = build_train_step(model, optimizer, cfg, jit=False)
+    epoch is a single XLA executable with zero host round-trips.
+
+    With ``mesh``, the gathered batch is pinned to the ('data',) axis
+    inside the scan body, so the compute is data-parallel while the
+    dataset/state stay replicated (grads psum'd by XLA)."""
+    step = build_train_step(model, optimizer, cfg, jit=False, mesh=mesh)
 
     @jax.jit
     def train_epoch(state: TrainState, imgs_u8, labs_u8, idx_plan):
@@ -188,13 +226,18 @@ def build_train_epoch(model, optimizer, cfg: TrainConfig) -> Callable:
     return train_epoch
 
 
-def build_eval_step(model, cfg: TrainConfig, stochastic_val: bool = True) -> Callable:
+def build_eval_step(
+    model, cfg: TrainConfig, stochastic_val: bool = True, mesh=None
+) -> Callable:
     """Jitted val pass: (stochastically flipped, per the reference's
     ALB_VALID quirk) forward -> argmax one-hot -> per-class Dice/IoU.
-    Metric math matches task1/kite/losses/miou.py statics."""
+    Metric math matches task1/kite/losses/miou.py statics.  With ``mesh``,
+    divisible batches are sharded over ('data',); ragged tails run
+    replicated."""
 
     @partial(jax.jit, static_argnames=())
     def eval_step(state: TrainState, imgs_u8, labs_u8, key):
+        imgs_u8, labs_u8 = _constrain_data(mesh, imgs_u8, labs_u8, strict=False)
         img, lab = val_augment_batch(imgs_u8, labs_u8, key, stochastic=stochastic_val)
         true_oh = jax.nn.one_hot(lab, cfg.n_class, dtype=jnp.float32)
         variables = cast_floating(state.variables(), cfg.dtype)

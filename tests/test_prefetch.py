@@ -83,3 +83,21 @@ def test_streaming_trainer_from_disk(tmp_path):
     tr = Trainer(model, ds, cfg, root=str(tmp_path / "exp"), bs=2, debug=True)
     logs = tr.train_epoch_streaming(epoch=0)
     assert np.isfinite(logs["los_epoch"]) and logs["los_epoch"] > 0
+
+    # auto-select: a 1-byte HBM budget forces streaming; the train split
+    # must NOT be materialized on device then
+    tr2 = Trainer(
+        model, ds, cfg, root=str(tmp_path / "exp2"), bs=2, debug=True,
+        hbm_budget_bytes=1,
+    )
+    assert tr2.streaming and "train" not in tr2._dev
+    # fit() dispatches to the streaming epoch and still best-checkpoints
+    tr2.fit(epochs=1)
+    assert os.path.isdir(str(tmp_path / "exp2" / "val_top"))
+    assert tr2.best_dice > -1.0
+
+    # forcing streaming without paths is a clear error
+    ds_syn = EyeSet.load("goals", root="")
+    with pytest.raises(ValueError):
+        Trainer(model, ds_syn, cfg, root=str(tmp_path / "exp3"), bs=2,
+                streaming=True)

@@ -49,6 +49,43 @@ def test_sharded_volume_predictor():
     np.testing.assert_array_equal(a, b)
 
 
+def test_pick_dp_devices():
+    from tcct_tpu.parallel import pick_dp_devices
+
+    assert pick_dp_devices(8, 8) == 8
+    assert pick_dp_devices(2, 8) == 2
+    assert pick_dp_devices(6, 8) == 6
+    assert pick_dp_devices(3, 8) == 3
+    assert pick_dp_devices(7, 4) == 1
+    assert pick_dp_devices(8, 1) == 1
+
+
+def test_trainer_dp_matches_single_device(tmp_path):
+    """The CLI --pl path: a Trainer built on the 8-device mesh produces the
+    same loss trajectory as single-device with the same global batch
+    (VERDICT r1 item 2)."""
+    from tcct_tpu.data import EyeSet
+    from tcct_tpu.models import RegNet, get_model
+    from tcct_tpu.parallel import make_mesh
+    from tcct_tpu.train import TrainConfig, Trainer
+
+    dataset = EyeSet.load("goals", root="")  # synthetic fallback
+    nc = dataset.out_channels
+    cfg = TrainConfig(n_class=nc, crop_hw=(32, 32), ds=True)
+
+    def run(mesh, tag):
+        net = RegNet(base=get_model("relay", nc), out_channels=nc)
+        tr = Trainer(
+            net, dataset, cfg, root=str(tmp_path / tag), bs=8,
+            mesh=mesh, debug=True, seed=7,
+        )
+        return [tr.train_epoch(e)["los_epoch"] for e in range(2)]
+
+    plain = run(None, "plain")
+    dp = run(make_mesh(8), "dp")
+    np.testing.assert_allclose(plain, dp, rtol=5e-4)
+
+
 def test_train_step_sharded_batch_matches_replicated():
     """DP invariance: the same batch sharded over 8 devices vs run on one
     device gives the same loss (global BN stats + grad psum)."""
