@@ -96,6 +96,8 @@ bool decode_png(const char* path, Image& im) {
   uLongf out_len = raw.size();
   if (uncompress(raw.data(), &out_len, idat.data(), idat.size()) != Z_OK)
     return false;
+  // a truncated stream would leave uninitialized raster bytes
+  if (out_len != (uLongf)raw.size()) return false;
 
   // unfilter
   std::vector<uint8_t> img(stride * H);
@@ -128,7 +130,8 @@ bool decode_png(const char* path, Image& im) {
     im.h = H; im.w = W; im.c = 3;
     im.pix.resize((size_t)H * W * 3);
     for (size_t i = 0; i < (size_t)H * W; ++i) {
-      uint8_t idx = img[i];
+      size_t idx = img[i];
+      if (idx * 3 + 3 > palette.size()) return false;
       memcpy(&im.pix[i * 3], &palette[idx * 3], 3);
     }
   } else if (ctype == 4 || ctype == 6) {
@@ -208,14 +211,16 @@ void pad_or_crop(const Image& in, int H, int W, bool reflect, Image& out) {
     int sy = y - top;
     if (sy < 0 || sy >= in.h) {
       if (!reflect) continue;
-      sy = sy < 0 ? -sy : 2 * in.h - sy - 2;
+      // cv2.BORDER_REFLECT (edge-including: -1 -> 0), the duke2 mode
+      // (reference task1/data/octnpy.py:69); NOT REFLECT_101
+      sy = sy < 0 ? -sy - 1 : 2 * in.h - sy - 1;
       if (sy < 0 || sy >= in.h) continue;
     }
     for (int x = 0; x < W; ++x) {
       int sx = x - left;
       if (sx < 0 || sx >= in.w) {
         if (!reflect) continue;
-        sx = sx < 0 ? -sx : 2 * in.w - sx - 2;
+        sx = sx < 0 ? -sx - 1 : 2 * in.w - sx - 1;
         if (sx < 0 || sx >= in.w) continue;
       }
       memcpy(&out.pix[((size_t)y * W + x) * in.c],

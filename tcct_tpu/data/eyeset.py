@@ -54,7 +54,9 @@ def _prep(geo: DatasetGeometry, img: np.ndarray, lab: Optional[np.ndarray]):
         h, w = img.shape[:2]
         ph, pw = max(H - h, 0), max(W - w, 0)
         top, left = ph // 2, pw // 2
-        mode = "reflect" if geo.prep_reflect else "constant"
+        # 'symmetric' = cv2.BORDER_REFLECT (edge-including), the duke2 mode
+        # (reference octnpy.py:69); numpy 'reflect' would be REFLECT_101
+        mode = "symmetric" if geo.prep_reflect else "constant"
         img = np.pad(img, ((top, ph - top), (left, pw - left), (0, 0)), mode=mode)
         if lab is not None:
             lab = np.pad(lab, ((top, ph - top), (left, pw - left)), mode=mode)
@@ -152,6 +154,8 @@ class EyeSet:
                 for p in img_paths:
                     lp = p.replace(img_key, lab_key).replace("train_img", "train_lab")
                     img = cv2.imread(p, cv2.IMREAD_COLOR)
+                    if img is None:
+                        raise IOError(f"unreadable image file in {split} split: {p}")
                     lab = (
                         cv2.imread(lp, cv2.IMREAD_GRAYSCALE)
                         if os.path.exists(lp)

@@ -105,7 +105,12 @@ class ClsTrainer:
         self.debug = debug
         os.makedirs(root, exist_ok=True)
         self.dataset = dataset or GoalClsSet.load(img_size=img_size)
-        self.optimizer = optax.adamw(lr, weight_decay=weight_decay)
+        # coupled L2 (grad += wd * param before the Adam moments), matching
+        # paddle.optimizer.Adam(weight_decay=5e-4) at reference
+        # task2/t2_train.py:172 — NOT decoupled AdamW
+        self.optimizer = optax.chain(
+            optax.add_decayed_weights(weight_decay), optax.adam(lr)
+        )
         rng = jax.random.PRNGKey(seed)
         sample = jnp.zeros((1, img_size, img_size, 3))
         variables = jax.jit(

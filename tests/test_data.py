@@ -39,3 +39,28 @@ def test_postprocess_band_restore():
     # heg band is rows 83..339 (octnpy.py:59)
     assert out[:83].sum() == 0
     assert out[83:339].sum() > 0
+
+
+def test_duke2_prep_reflect_matches_cv2_border_reflect():
+    """np.pad 'symmetric' == cv2.BORDER_REFLECT, the duke2 pad mode
+    (reference octnpy.py:69)."""
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+    from tcct_tpu.data.eyeset import _prep
+    from tcct_tpu.data.geometry import get_geometry
+
+    geo = get_geometry("duke2")
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (360, 500, 3), dtype=np.uint8)
+    lab = rng.integers(0, 9, (360, 500)).astype(np.uint8)
+    pimg, plab = _prep(geo, img, lab)
+    ph, pw = 384 - 360, 576 - 500
+    ref = cv2.copyMakeBorder(
+        img, ph // 2, ph - ph // 2, pw // 2, pw - pw // 2, cv2.BORDER_REFLECT
+    )
+    np.testing.assert_array_equal(pimg, ref)
+    refl = cv2.copyMakeBorder(
+        lab, ph // 2, ph - ph // 2, pw // 2, pw - pw // 2, cv2.BORDER_REFLECT
+    )
+    np.testing.assert_array_equal(plab, refl)

@@ -82,3 +82,22 @@ def test_bad_path_zero_filled(png_dir):
     )
     assert n_ok == 1
     assert imgs[0].sum() == 0 and imgs[1].sum() > 0
+
+
+def test_reflect_pad_matches_cv2_border_reflect(png_dir):
+    """duke2 prep (reference octnpy.py:69): PadIfNeeded with
+    cv2.BORDER_REFLECT — edge-INCLUDING reflect, not REFLECT_101."""
+    ip = png_dir[0][0]
+    img = cv2.imread(ip, cv2.IMREAD_COLOR)
+    band = img[:384]
+    H, W = 512, 576  # pad on both axes
+    imgs, _, n_ok = native.load_batch(
+        [ip], None, hw=(H, W), height_stt=0, height_end=384,
+        prep_mode="pad", prep_reflect=True,
+    )
+    assert n_ok == 1
+    ph, pw = H - band.shape[0], W - band.shape[1]
+    ref = cv2.copyMakeBorder(
+        band, ph // 2, ph - ph // 2, pw // 2, pw - pw // 2, cv2.BORDER_REFLECT
+    )
+    np.testing.assert_array_equal(imgs[0], ref)
