@@ -180,3 +180,82 @@ def load_torch_file(path: str) -> Dict[str, np.ndarray]:
 
 def import_torch_checkpoint(path: str, variables, strict_shapes: bool = True):
     return import_torch_state(load_torch_file(path), variables, strict_shapes)
+
+
+# ---------------------------------------------------------------------------
+# reverse direction: tcct_tpu variables -> torch state_dict
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ExportReport:
+    filled: List[str]        # keys written from tcct_tpu variables
+    passthrough: List[str]   # training-only keys copied from the skeleton
+    missing: List[str]       # skeleton keys with no tcct_tpu counterpart
+
+    def __repr__(self):
+        return (
+            f"ExportReport(filled={len(self.filled)}, "
+            f"passthrough={len(self.passthrough)}, missing={len(self.missing)})"
+        )
+
+
+def export_torch_state(variables, skeleton: Dict[str, np.ndarray]):
+    """Inverse of :func:`import_torch_state`: fill a torch state-dict
+    skeleton (key -> array, e.g. a reference ``.pt``) from flax variables.
+
+    This closes the interop loop the reference's ONNX path provides
+    (task1/onnx/onnx_save.py:4-15): a tcct_tpu-trained model round-trips
+    into the reference PyTorch tooling for independent verification.
+    Transforms are the exact inverses of the importer's
+    (HWIO -> OIHW conv kernels, IO -> OI dense, scale -> 1-D weight).
+    Keys the importer skips (``aug.*``, ``num_batches_tracked``, dead fcp
+    buffers) are copied through from the skeleton unchanged.
+
+    Returns (state_dict of np.float32 arrays, ExportReport).
+    """
+    norm_index: Dict[Tuple[str, str], Tuple[str, ...]] = {}
+    flat = {}
+    for coll, tree in variables.items():
+        f = _flatten(tree, (coll,))
+        flat.update(f)
+        for path in f:
+            norm_index[(path[0], _normalize("/".join(path[1:])))] = path
+
+    out: Dict[str, np.ndarray] = {}
+    filled, passthrough, missing = [], [], []
+    for key, skel in skeleton.items():
+        skel = np.asarray(skel)
+        tr = translate_torch_key(key, skel)
+        if tr is None:
+            out[key] = skel
+            passthrough.append(key)
+            continue
+        coll, norm, _ = tr
+        path = norm_index.get((coll, norm))
+        if path is None:
+            out[key] = skel
+            missing.append(key)
+            continue
+        val = np.asarray(jax.device_get(flat[path]), np.float32)
+        if val.ndim == 4:
+            val = val.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        elif val.ndim == 2 and key.endswith("weight"):
+            val = val.transpose(1, 0)  # IO -> OI
+        if tuple(val.shape) != tuple(skel.shape):
+            raise ValueError(
+                f"export shape mismatch for {key}: {val.shape} vs skeleton {skel.shape}"
+            )
+        out[key] = val
+        filled.append(key)
+    return out, ExportReport(filled, passthrough, missing)
+
+
+def export_torch_checkpoint(variables, skeleton_path: str, out_path: str):
+    """Export flax ``variables`` to a torch ``.pt`` shaped like
+    ``skeleton_path`` (typically the matching reference checkpoint)."""
+    import torch
+
+    skeleton = load_torch_file(skeleton_path)
+    state, report = export_torch_state(variables, skeleton)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state.items()}, out_path)
+    return report

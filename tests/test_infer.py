@@ -80,3 +80,46 @@ def test_params_npz_roundtrip(small_net, tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_export_torch_roundtrip():
+    """Reverse exporter (interop with the reference tooling): import the
+    shipped .pt, export back against the same skeleton, and diff — every
+    filled tensor must be bit-identical (the mapping is rename+transpose
+    only)."""
+    import os
+
+    import jax
+
+    from tcct_tpu.infer.importer import (
+        export_torch_state,
+        import_torch_checkpoint,
+        load_torch_file,
+    )
+    from tcct_tpu.models import RegNet, get_model
+
+    path = "/root/reference/task1/onnx/tcct_goals.pt"
+    if not os.path.exists(path):
+        pytest.skip("reference checkpoint unavailable")
+    net = RegNet(base=get_model("stc_tt", 5, variant="infer"), out_channels=5)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = net.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    variables, irep = import_torch_checkpoint(path, variables)
+
+    skeleton = load_torch_file(path)
+    state, erep = export_torch_state(variables, skeleton)
+    assert set(state) == set(skeleton)
+    # everything the importer matched must export back bit-identically
+    assert set(erep.filled) == set(irep.matched)
+    for k in erep.filled:
+        np.testing.assert_array_equal(state[k], skeleton[k].astype(np.float32), err_msg=k)
+    # passthrough keys (aug.*, num_batches_tracked, dead fcp buffers) are
+    # preserved verbatim
+    for k in erep.passthrough:
+        np.testing.assert_array_equal(state[k], skeleton[k], err_msg=k)
+    # keys with no flax counterpart (dead CRPE convs of the disabled
+    # factor/hydra mixers) must be exactly the ones the importer skipped
+    # for the same reason — and they're still carried through verbatim
+    assert set(erep.missing) <= set(irep.skipped_source), erep.missing[:5]
+    for k in erep.missing:
+        np.testing.assert_array_equal(state[k], skeleton[k], err_msg=k)
