@@ -2,14 +2,18 @@
 
 The reference wraps a Paddle ResNet-18/34/50 with per-stage Dropout
 (0.1/0.2/0.3/0.4) and an fc -> 256 -> 2 head.  Here the ResNet is
-implemented natively in flax (NHWC); torchvision/paddle pretrained
-weights can be grafted via the generic importer when a weight file is
-supplied (zero-egress environments train from scratch).
+implemented natively in flax (NHWC); ImageNet-pretrained torchvision or
+paddle weights are grafted via :func:`load_resnet_checkpoint` when a
+weight file is supplied.  This environment cannot download the ImageNet
+weights (zero egress), so training here starts from scratch — an explicit
+deviation from the reference's ``pretrained=True`` (t2_train.py:129-137);
+production users pass the checkpoint path (or set ``TCCT_RESNET_PT``).
 """
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+import re
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -99,3 +103,60 @@ class ClsModel(nn.Module):
         x = nn.Dense(256, name="fc_0")(x)
         x = nn.Dense(self.num_classes, name="fc_1")(x)
         return x
+
+
+# ---------------------------------------------------------------------------
+# pretrained-backbone grafting (reference t2_train.py:129-137)
+# ---------------------------------------------------------------------------
+
+def _canon_resnet_key(key: str) -> str:
+    """Normalize torchvision / paddle / reference-wrapped ResNet keys to
+    plain torchvision naming so the generic importer's merged-index
+    convention lines up with ClsModel's module names.
+
+    - ``base.`` prefix (the reference Model wraps the backbone as
+      ``self.base``) is stripped;
+    - ``layerN.0.B.`` (the reference re-wraps each stage as
+      ``Sequential(layer, Dropout)``, t2_train.py:141-144) unwraps to
+      ``layerN.B.``;
+    - paddle BatchNorm ``._mean`` / ``._variance`` map to torch
+      ``.running_mean`` / ``.running_var``.
+    """
+    if key.startswith("base."):
+        key = key[5:]
+    key = re.sub(r"^(layer\d)\.0\.(\d+)\.", r"\1.\2.", key)
+    key = key.replace("._mean", ".running_mean").replace(
+        "._variance", ".running_var"
+    )
+    return key
+
+
+def load_resnet_checkpoint(path_or_state, variables):
+    """Graft ImageNet-pretrained ResNet weights onto ClsModel variables.
+
+    ``path_or_state``: a torch ``.pt``/``.pth`` path or an already-loaded
+    ``{key: array}`` dict (torchvision, paddle.vision, or the reference's
+    wrapped naming).  The ImageNet fc head is dropped (ours is
+    fc -> 256 -> 2).  Raises if any backbone conv/bn stays unmatched, so a
+    silent partial graft is impossible.  Returns (variables, report).
+    """
+    from tcct_tpu.infer.importer import import_torch_state, load_torch_file
+
+    if isinstance(path_or_state, str):
+        state = load_torch_file(path_or_state)
+    else:
+        state = {k: v for k, v in path_or_state.items()}
+    state = {_canon_resnet_key(k): v for k, v in state.items()}
+    state = {k: v for k, v in state.items() if not k.startswith("fc.")}
+    variables, report = import_torch_state(state, variables, strict_shapes=False)
+    unmatched = [
+        k
+        for k in report.untouched_target
+        if any(s in k for s in ("conv", "bn", "downsample"))
+    ]
+    if unmatched:
+        raise ValueError(
+            f"pretrained graft left {len(unmatched)} backbone tensors "
+            f"untouched, e.g. {unmatched[:4]} — wrong architecture or naming?"
+        )
+    return variables, report

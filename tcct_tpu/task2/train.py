@@ -98,6 +98,7 @@ class ClsTrainer:
         dataset: Optional[GoalClsSet] = None,
         seed: int = 311,
         debug: bool = False,
+        pretrained: Optional[str] = None,
     ):
         self.model = ClsModel(net=net)
         self.bs = bs
@@ -118,6 +119,15 @@ class ClsTrainer:
                 {"params": rng, "dropout": rng}, sample, train=False
             )
         )()
+        # ImageNet-pretrained backbone graft (reference t2_train.py:129:
+        # pretrained=True). The weight file must be supplied — zero-egress
+        # environments can't download it (documented deviation).
+        pretrained = pretrained or os.environ.get("TCCT_RESNET_PT", "")
+        if pretrained:
+            from tcct_tpu.task2.model import load_resnet_checkpoint
+
+            variables, report = load_resnet_checkpoint(pretrained, variables)
+            print("pretrained backbone:", report)
         self.state = ClsState(
             step=jnp.zeros((), jnp.int32),
             params=variables["params"],

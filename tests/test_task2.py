@@ -74,3 +74,107 @@ def test_tta_ensemble_roundtrip(tmp_path):
     final = ensemble_csvs([p1, p2], os.path.join(str(tmp_path), "final.csv"))
     assert set(final) == set(ds.names)
     assert all(v in (0, 1) for v in final.values())
+
+
+# ---------------------------------------------------------------------------
+# pretrained-backbone grafting (reference t2_train.py:129-137)
+# ---------------------------------------------------------------------------
+
+def _tv_resnet18_state(rng):
+    """Torchvision-named resnet18 state dict with correct shapes (random
+    values stand in for the ImageNet weights this env cannot download)."""
+    sd = {}
+
+    def conv(name, o, i, k):
+        sd[name + ".weight"] = rng.standard_normal((o, i, k, k)).astype(np.float32)
+
+    def bn(name, c):
+        sd[name + ".weight"] = rng.standard_normal(c).astype(np.float32)
+        sd[name + ".bias"] = rng.standard_normal(c).astype(np.float32)
+        sd[name + ".running_mean"] = rng.standard_normal(c).astype(np.float32)
+        sd[name + ".running_var"] = (np.abs(rng.standard_normal(c)) + 0.5).astype(np.float32)
+        sd[name + ".num_batches_tracked"] = np.asarray(1)
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    inc = 64
+    for li, (c, nb) in enumerate(zip([64, 128, 256, 512], [2, 2, 2, 2])):
+        for b in range(nb):
+            pre = f"layer{li + 1}.{b}"
+            conv(pre + ".conv1", c, inc if b == 0 else c, 3)
+            bn(pre + ".bn1", c)
+            conv(pre + ".conv2", c, c, 3)
+            bn(pre + ".bn2", c)
+            if b == 0 and li > 0:
+                conv(pre + ".downsample.0", c, inc, 1)
+                bn(pre + ".downsample.1", c)
+        inc = c
+    sd["fc.weight"] = rng.standard_normal((1000, 512)).astype(np.float32)
+    sd["fc.bias"] = rng.standard_normal(1000).astype(np.float32)
+    return sd
+
+
+def test_pretrained_resnet_graft():
+    from tcct_tpu.task2.model import ClsModel, load_resnet_checkpoint
+
+    model = ClsModel(net="res18")
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)}, x, train=False)
+    sd = _tv_resnet18_state(np.random.default_rng(0))
+    new_vars, report = load_resnet_checkpoint(sd, variables)
+
+    # exact mapping spot checks: OIHW -> HWIO, BN stats into batch_stats
+    np.testing.assert_array_equal(
+        np.asarray(new_vars["params"]["conv1"]["kernel"]),
+        sd["conv1.weight"].transpose(2, 3, 1, 0),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new_vars["batch_stats"]["layer3_0"]["downsample_1"]["mean"]),
+        sd["layer3.0.downsample.1.running_mean"],
+    )
+    # the head stays ours (fc dropped from the source)
+    np.testing.assert_array_equal(
+        np.asarray(new_vars["params"]["fc_0"]["kernel"]),
+        np.asarray(variables["params"]["fc_0"]["kernel"]),
+    )
+    out = model.apply(new_vars, x, train=False)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_pretrained_graft_accepts_wrapped_and_paddle_naming():
+    """The reference wraps stages as Sequential(layer, Dropout) under
+    ``self.base`` (t2_train.py:141-149); paddle BN uses _mean/_variance."""
+    from tcct_tpu.task2.model import ClsModel, load_resnet_checkpoint
+
+    model = ClsModel(net="res18")
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)}, x, train=False)
+    sd = _tv_resnet18_state(np.random.default_rng(1))
+    wrapped = {}
+    for k, v in sd.items():
+        k2 = k.replace(".running_mean", "._mean").replace(".running_var", "._variance")
+        import re
+        k2 = re.sub(r"^(layer\d)\.", r"\1.0.", k2)
+        wrapped["base." + k2] = v
+    a, _ = load_resnet_checkpoint(sd, variables)
+    b, _ = load_resnet_checkpoint(wrapped, variables)
+    np.testing.assert_array_equal(
+        np.asarray(a["params"]["layer4_1"]["conv2"]["kernel"]),
+        np.asarray(b["params"]["layer4_1"]["conv2"]["kernel"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a["batch_stats"]["bn1"]["var"]),
+        np.asarray(b["batch_stats"]["bn1"]["var"]),
+    )
+
+
+def test_pretrained_graft_rejects_partial():
+    from tcct_tpu.task2.model import ClsModel, load_resnet_checkpoint
+
+    model = ClsModel(net="res18")
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)}, x, train=False)
+    sd = _tv_resnet18_state(np.random.default_rng(2))
+    partial = {k: v for k, v in sd.items() if "layer4" not in k}
+    with pytest.raises(ValueError):
+        load_resnet_checkpoint(partial, variables)
