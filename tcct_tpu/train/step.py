@@ -56,6 +56,10 @@ class TrainConfig:
     packed_cnn: bool = False  # space-to-depth CNN branch in training
     #                           (exact rewrite, phase-aware BN stats;
     #                           FTC models, crop divisible by 32)
+    pinned_reg_noise: bool = False  # pin the boundary-loss Gumbel noise to
+    #                                 its deterministic variant (uniforms =
+    #                                 0.5) for cross-framework train-parity
+    #                                 experiments
 
 
 def _constrain_data(mesh, *arrays, strict: bool = False):
@@ -87,9 +91,10 @@ def _constrain_data(mesh, *arrays, strict: bool = False):
     return tuple(out) if len(out) > 1 else out[0]
 
 
-def build_train_step(
-    model, optimizer, cfg: TrainConfig, jit: bool = True, mesh=None
-) -> Callable:
+def build_loss_fn(model, cfg: TrainConfig) -> Callable:
+    """The raw training-loss closure (params -> scalar), shared by the
+    train step and the gradient-parity experiment
+    (tests/test_train_parity.py)."""
     criterion = get_loss(cfg.loss)
 
     def loss_fn(params, batch_stats, prototypes, img, true_oh, rngs, rng_reg):
@@ -161,6 +166,14 @@ def build_train_step(
         new_bs = to_f32(updates.get("batch_stats", batch_stats))
         return los, (new_bs, metrics)
 
+    return loss_fn
+
+
+def build_train_step(
+    model, optimizer, cfg: TrainConfig, jit: bool = True, mesh=None
+) -> Callable:
+    loss_fn = build_loss_fn(model, cfg)
+
     def train_step(state: TrainState, imgs_u8, labs_u8):
         # non-strict: a ragged tail batch (streaming epochs) runs replicated;
         # batch-size/mesh compatibility is validated at Trainer init
@@ -183,7 +196,7 @@ def build_train_step(
             img,
             true_oh,
             {"gate": k_gate, "droppath": k_dp},
-            k_reg,
+            None if cfg.pinned_reg_noise else k_reg,
         )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = jax.tree_util.tree_map(

@@ -228,6 +228,102 @@ def golden_regular_losses():
     print("wrote regnet_losses.npz  los_reg=%.6f los_udh=%.6f" % (los_reg.item(), los_udh.item()))
 
 
+def golden_train_parity(n_steps=50):
+    """Training-parity experiment fixture (VERDICT r1 item 4): N optimizer
+    steps of the FULL training loss (DS dice + polarization + boundary
+    regression) on the train-generation model in torch-CPU, with every
+    stochastic piece removed or pinned:
+
+    - fixed uint8 input batch (exactly representable both sides),
+    - drop_path_rate=0 (torch DropPath noise is unpinnable cross-framework),
+    - torch.rand_like pinned to 0.5 inside regular_reg (the jax side uses
+      losses/boundary.py's rng=None deterministic variant),
+    - AdamW(1e-4, wd 2e-4) + grad-clip 12, constant LR.
+
+    Saves the INITIAL state dict (imported by the jax side), the per-step
+    total losses, and final-parameter checks.  Mirrors the reference hot
+    loop composition: grad_calc DS sum (loopback.py:62-73) + coff_udh*udh +
+    coff_reg*reg (loop_seg.py:146-171).
+    """
+    stub_timm()
+    tcct = load_module("ref_tcct_train", f"{REF}/nets/tcct.py")
+    regmod = _load_ref_pkg()["reg"]
+    lossmod = load_module("ref_kite_loss", f"{REF}/kite/losses/loss.py")
+
+    torch.manual_seed(5)
+    base = tcct.FTC(
+        base_vit=tcct.mpvit_tiny(drop_path_rate=0.0),
+        base_cnn=tcct.CrossResNet(flag_tiny=True),
+        out_channels=5,
+        flag_gate=False,
+    )
+    net = regmod.RegNet(base, out_channels=5, con="cos")
+    net.train()
+
+    g = torch.Generator().manual_seed(17)
+    x_u8 = torch.randint(0, 256, (2, 3, 64, 64), generator=g, dtype=torch.uint8)
+    labels = torch.randint(0, 5, (2, 64, 64), generator=g)
+    x = x_u8.float() / 255.0
+    true = torch.nn.functional.one_hot(labels, 5).permute(0, 3, 1, 2).float()
+
+    sd0 = {k: v.detach().clone().numpy() for k, v in net.state_dict().items()}
+    crit = lossmod.MultiLoss(lossmod.DiceLoss(bi=False))
+    opt = torch.optim.AdamW(net.parameters(), lr=1e-4, weight_decay=2e-4)
+
+    real_rand_like = torch.rand_like
+    coff_ds, coff_udh, coff_reg = 0.5, 1.0, 0.1
+    losses = []
+    grads0 = {}
+    torch.rand_like = lambda t, **kw: torch.full_like(t, 0.5)
+    try:
+        for step in range(n_steps):
+            outs = net(x)
+            los = 0
+            for i in range(len(outs) - 1, 0, -1):  # loopback.py:62-73
+                los = los + crit(outs[i], true) * coff_ds
+            los = los + crit(outs[0], true)
+            los = los + net.regular_udh(outs[0], true) * coff_udh
+            los = los + net.regular_reg(outs[0], true) * coff_reg
+            opt.zero_grad()
+            los.backward()
+            if step == 0:
+                # raw step-0 gradients (pre-clip): the direct backward-path
+                # parity target
+                grads0 = {
+                    k: p.grad.detach().clone().numpy()
+                    for k, p in net.named_parameters()
+                    if p.grad is not None
+                }
+            torch.nn.utils.clip_grad_norm_(net.parameters(), 12)
+            opt.step()
+            losses.append(los.item())
+    finally:
+        torch.rand_like = real_rand_like
+
+    sdN = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    param_l2 = np.sqrt(
+        sum(
+            float((v.astype(np.float64) ** 2).sum())
+            for k, v in sdN.items()
+            if v.ndim > 0 and "running" not in k and "tracked" not in k
+        )
+    )
+    save(
+        "train_parity",
+        x_u8=x_u8.numpy(),
+        labels=labels.numpy().astype(np.uint8),
+        losses=np.asarray(losses, np.float64),
+        param_l2=param_l2,
+        **{f"sd0::{k}": v for k, v in sd0.items()},
+        **{f"grad0::{k}": v for k, v in grads0.items()},
+        **{
+            f"sdN::{k}": v
+            for k, v in sdN.items()
+            if "running" not in k and "tracked" not in k
+        },
+    )
+
+
 def golden_ops():
     g = torch.Generator().manual_seed(17)
     x = torch.randn(2, 7, 9, 5, generator=g)  # [B,H,W,C] stored; torch wants NCHW
@@ -275,5 +371,6 @@ if __name__ == "__main__":
     golden_losses()
     golden_binpool()
     golden_regular_losses()
+    golden_train_parity()
     golden_checkpoint_forward()
     print("done")
