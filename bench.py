@@ -71,6 +71,11 @@ def bench_inference(bs=8, hw=(256, 256), iters=30, dtype=None, cnn_impl="plain",
     return bs / dt, dt
 
 
+# v5e single-chip peaks (public spec): 197 TFLOP/s bf16, 819 GB/s HBM
+V5E_PEAK_FLOPS = 197e12
+V5E_PEAK_BW = 819e9
+
+
 def bench_train(bs=8, hw=(256, 256), iters=20):
     import numpy as np
 
@@ -106,7 +111,27 @@ def bench_train(bs=8, hw=(256, 256), iters=20):
         state, m = step(state, imgs, labs)
     jax.block_until_ready(m["total"])
     dt = (time.time() - t0) / iters
-    return bs / dt, dt
+
+    # HLO cost-analysis roofline: attainable step time on this chip is
+    # max(flops/peak_flops, bytes/peak_bw); report achieved % of that.
+    mfu_pct = None
+    try:
+        ca = step.lower(state, imgs, labs).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        bytes_acc = float(ca.get("bytes accessed", 0.0))
+        mfu_pct = 100.0 * (flops / V5E_PEAK_FLOPS) / dt
+        log(
+            f"train cost analysis: {flops/1e9:.1f} GFLOP "
+            f"({flops/V5E_PEAK_FLOPS*1e3:.2f} ms at peak, MFU {mfu_pct:.1f}%), "
+            f"{bytes_acc/1e6:.0f} MB HLO bytes accessed "
+            f"({bytes_acc/V5E_PEAK_BW*1e3:.2f} ms at peak BW; overcounts "
+            f"fusion reuse) vs measured {dt*1e3:.2f} ms -> HBM-bound"
+        )
+    except Exception as e:
+        log(f"cost analysis failed: {e!r}")
+    return bs / dt, dt, mfu_pct
 
 
 def main():
@@ -120,21 +145,23 @@ def main():
         log(f"inference bf16 plain  bs=8 256^2: {p_dt*1e3:.2f} ms/step = {p_tput:.1f} B-scans/s")
     except Exception as e:
         log(f"plain inference bench failed: {e!r}")
+    train_tput = train_mfu = None
     try:
-        train_tput, train_dt = bench_train()
-        log(f"train (aug+DS-dice+AdamW) bs=8 256^2: {train_dt*1e3:.2f} ms/step = {train_tput:.1f} B-scans/s")
+        train_tput, train_dt, train_mfu = bench_train()
+        log(f"train (aug+DS-dice+AdamW, packed) bs=8 256^2: {train_dt*1e3:.2f} ms/step = {train_tput:.1f} B-scans/s")
     except Exception as e:  # train bench is context, not the headline
         log(f"train bench failed: {e!r}")
-    print(
-        json.dumps(
-            {
-                "metric": "goals_stc_tt_infer_bs8_256x256_bscans_per_sec",
-                "value": round(infer_tput, 2),
-                "unit": "B-scans/s",
-                "vs_baseline": round(infer_tput / BASELINE_BSCANS_PER_SEC, 2),
-            }
-        )
-    )
+    out = {
+        "metric": "goals_stc_tt_infer_bs8_256x256_bscans_per_sec",
+        "value": round(infer_tput, 2),
+        "unit": "B-scans/s",
+        "vs_baseline": round(infer_tput / BASELINE_BSCANS_PER_SEC, 2),
+    }
+    if train_tput is not None:
+        out["train_bscans_per_sec"] = round(train_tput, 2)
+    if train_mfu is not None:
+        out["train_mfu_pct"] = round(train_mfu, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

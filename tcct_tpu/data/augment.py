@@ -133,6 +133,9 @@ def random_flips(img, lab, key, p_h: float = 0.5, p_v: float = 0.5):
 
 def _train_one(img_u8, lab_u8, key, crop_hw):
     k_crop, k_flip, k_rgb, k_hsv, k_con, k_bri = jax.random.split(key, 6)
+    # note: convert BEFORE the crop — cropping the uint8 first looks like a
+    # 4x traffic saving but measured 2.3 ms/step SLOWER on v5e (8-bit
+    # dynamic-slice lane handling)
     img = img_u8.astype(jnp.float32) / 255.0
     lab = lab_u8.astype(jnp.int32)
     img, lab = crop_non_empty(img, lab, k_crop, crop_hw)

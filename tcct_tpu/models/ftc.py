@@ -31,15 +31,29 @@ from tcct_tpu.ops.resize import resize_bicubic, resize_bilinear
 
 class MPUpBlock(nn.Module):
     """conv3-BN-LReLU -> 2x bilinear up (align_corners=True) -> +skip ->
-    1x1 conv (reference tcct.py:887-914)."""
+    1x1 conv (reference tcct.py:887-914).
+
+    ``packed_skip``: when given (a pack_nhwc'd skip at the UPSAMPLED
+    resolution), the upsample is emitted directly in the packed layout
+    (ops/resize.py::resize_bilinear_2x_packed), the skip-add and the 1x1
+    conv run packed, and the PACKED output is returned — the caller owns
+    the layout.  Exact reassociation of the plain path."""
 
     out_ch: int
 
     @nn.compact
-    def __call__(self, x1, x2=None, train: bool = False):
+    def __call__(self, x1, x2=None, train: bool = False, packed_skip=None):
         x1 = conv2d(self.out_ch, 3, 1, 1, name="prep_0")(x1)
         x1 = batchnorm(name="prep_1")(x1, use_running_average=not train)
         x1 = leaky_relu(x1)
+        if packed_skip is not None:
+            from tcct_tpu.models.layers import packed_io
+            from tcct_tpu.ops.resize import resize_bilinear_2x_packed
+
+            yp = resize_bilinear_2x_packed(x1, align_corners=True)
+            yp = yp + packed_skip
+            with packed_io():
+                return conv2d(self.out_ch, 1, 1, 0, name="post_0")(yp)
         H, W = x1.shape[1] * 2, x1.shape[2] * 2
         x1 = resize_bilinear(x1, (H, W), align_corners=True)
         if x2 is not None:
@@ -200,13 +214,40 @@ class FTC(nn.Module):
         y2 = self.dec2(y4, x3, train)
         y1 = self.dec3(y2, x2, train)
         if self.variant == "train":
-            y0 = self.dec4(y1, x1, train)
-            y0 = self.t324(x1 + y0)
+            from tcct_tpu.models.layers import packed_io, packing_active
+
+            if (
+                packing_active()
+                and x1.shape[1] % 2 == 0
+                and x1.shape[2] % 2 == 0
+            ):
+                # full-resolution tail on the packed layout end-to-end:
+                # one pack of the skip, zero intermediate round trips
+                # (the fine 32-channel layout uses 1/4 of the VPU/MXU
+                # lanes and dominates the train step's HBM time)
+                from tcct_tpu.ops.packed_conv import pack_nhwc, unpack_nhwc
+
+                x1pk = pack_nhwc(x1)
+                y0pk = self.dec4(y1, None, train, packed_skip=x1pk)
+                with packed_io():
+                    y0pk = self.t324(x1pk + y0pk)
+                    out0pk = self.aux0(y0pk)
+                y0 = unpack_nhwc(y0pk)
+                out0_packed = out0pk
+            else:
+                y0 = self.dec4(y1, x1, train)
+                y0 = self.t324(x1 + y0)
+                out0_packed = None
             y1p = self.t323(x2 + y1)
             y2p = self.t322(x3 + y2)
             y4p = self.t321(x4 + y4)
             feats = [norm_add([y0, y1p, y2p])]
-            out0 = self.aux0(y0)
+            if out0_packed is not None:
+                from tcct_tpu.ops.packed_conv import unpack_nhwc
+
+                out0 = unpack_nhwc(out0_packed)
+            else:
+                out0 = self.aux0(y0)
             out1 = resize_bilinear(self.aux1(y1p), size, align_corners=False)
             out2 = resize_bilinear(self.aux2(y2p), size, align_corners=False)
             out4 = resize_bilinear(self.aux4(y4p), size, align_corners=False)

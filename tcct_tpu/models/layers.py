@@ -36,6 +36,122 @@ def conv_init(fan: str = "fan_out", scale: float = 2.0):
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
 
 
+# ---------------------------------------------------------------------------
+# trace-time conv packing (space-to-depth lowering)
+#
+# Small-channel convs over large grids run at <=25% MXU lane width and a
+# fraction of effective HBM bandwidth (profiled: the full-res decoder/aux
+# 1x1 convs dominate the train step).  ``packed_convs()`` switches every
+# eligible stride-1 conv to the EXACT space-to-depth rewrite
+# (ops/packed_conv.py) at trace time — same parameters, same math,
+# reassociated — exactly like ops/resize.py::resize_impl selects the
+# resize lowering.
+# ---------------------------------------------------------------------------
+
+_PACK_CONVS = False
+_PACK_IO = False
+_PACK_MAX_CIN = 64
+_PACK_MIN_PIXELS = 64 * 64
+
+import contextlib
+
+
+@contextlib.contextmanager
+def packed_convs(enable: bool = True):
+    """Trace-time switch: lower eligible convs via space-to-depth."""
+    global _PACK_CONVS
+    prev = _PACK_CONVS
+    _PACK_CONVS = bool(enable)
+    try:
+        yield
+    finally:
+        _PACK_CONVS = prev
+
+
+def packing_active() -> bool:
+    return _PACK_CONVS
+
+
+@contextlib.contextmanager
+def packed_io(enable: bool = True):
+    """Trace-time switch: inside this context, eligible convs take
+    ALREADY-PACKED inputs ([B,h,w,4*C_fine]) and return packed outputs —
+    no internal pack/unpack round trip.  The caller owns the layout
+    (models/ftc.py's decoder tail).  Parameters stay fine-shaped."""
+    global _PACK_IO
+    prev = _PACK_IO
+    _PACK_IO = bool(enable)
+    try:
+        yield
+    finally:
+        _PACK_IO = prev
+
+
+class MaybePackedConv(nn.Conv):
+    """nn.Conv that lowers to the exact packed (space-to-depth) form when
+    ``packed_convs()`` is active and the geometry is eligible: stride 1,
+    ungrouped, odd kernel with torch-SAME padding, even H/W, small C_in,
+    enough pixels to matter.  Parameter tree is identical to nn.Conv."""
+
+    def _geom_eligible(self) -> bool:
+        kh, kw = self.kernel_size
+        strides = self.strides if self.strides is not None else (1, 1)
+        pad = self.padding
+        return (
+            strides in ((1, 1), 1)
+            and self.feature_group_count == 1
+            and kh % 2 == 1
+            and kw % 2 == 1
+            and isinstance(pad, (tuple, list))
+            and tuple(map(tuple, pad)) == ((kh // 2, kh // 2), (kw // 2, kw // 2))
+            and (self.kernel_dilation in (None, 1, (1, 1)))
+            and (self.input_dilation in (None, 1, (1, 1)))
+        )
+
+    def _pack_eligible(self, x) -> bool:
+        return (
+            _PACK_CONVS
+            and x.ndim == 4
+            and self._geom_eligible()
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+            and x.shape[1] * x.shape[2] >= _PACK_MIN_PIXELS
+            and x.shape[-1] <= _PACK_MAX_CIN
+        )
+
+    def _params(self, cin):
+        kshape = tuple(self.kernel_size) + (cin, self.features)
+        kernel = self.param("kernel", self.kernel_init, kshape, self.param_dtype)
+        bias = (
+            self.param("bias", self.bias_init, (self.features,), self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+    @nn.compact
+    def __call__(self, x):
+        from tcct_tpu.ops.packed_conv import pack_nhwc, packed_conv, unpack_nhwc
+
+        if _PACK_CONVS and _PACK_IO and x.ndim == 4 and self._geom_eligible():
+            # caller-managed packed layout: x is [B,h,w,4*C_fine]
+            kernel, bias = self._params(x.shape[-1] // 4)
+            return packed_conv(
+                x,
+                kernel.astype(x.dtype),
+                bias.astype(x.dtype) if bias is not None else None,
+            )
+        if not self._pack_eligible(x):
+            return super().__call__(x)
+        kernel, bias = self._params(x.shape[-1])
+        yp = packed_conv(
+            pack_nhwc(x),
+            kernel.astype(x.dtype),
+            bias.astype(x.dtype) if bias is not None else None,
+        )
+        return unpack_nhwc(yp)
+
+
 def conv2d(
     features,
     kernel_size=3,
@@ -58,7 +174,7 @@ def conv2d(
     pad = ((padding[0], padding[0]), (padding[1], padding[1]))
     if isinstance(stride, int):
         stride = (stride, stride)
-    return nn.Conv(
+    return MaybePackedConv(
         features=features,
         kernel_size=kernel_size,
         strides=stride,
@@ -71,15 +187,52 @@ def conv2d(
     )
 
 
+class BatchNorm(nn.Module):
+    """Drop-in for nn.BatchNorm (same param/stats tree, same semantics:
+    torch momentum 0.1 == 0.9 here, eps 1e-5, fast variance), with the
+    batch statistics accumulated in f32 INSIDE the reductions
+    (``jnp.mean(..., dtype=f32)``) instead of materializing an f32 copy of
+    the activation first.  Profiled on v5e: flax's force_float32_reductions
+    cast was ~1.5 ms/step of pure convert_element_type traffic in the bf16
+    train step.  Normalization itself runs in the input dtype, exactly as
+    flax's promote-then-cast does for bf16 inputs with bf16 scale/bias."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    scale_init: Any = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        C = x.shape[-1]
+        axes = tuple(range(x.ndim - 1))
+        scale = self.param("scale", self.scale_init, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32)
+        )
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(xf * xf, axis=axes) - mean * mean
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value.astype(jnp.float32) + (1 - m) * mean.astype(jnp.float32)
+                ra_var.value = m * ra_var.value.astype(jnp.float32) + (1 - m) * var.astype(jnp.float32)
+        inv = jax.lax.rsqrt(var.astype(jnp.float32) + self.epsilon) * scale.astype(jnp.float32)
+        shift = bias.astype(jnp.float32) - mean.astype(jnp.float32) * inv
+        return x * inv.astype(x.dtype) + shift.astype(x.dtype)
+
+
 def batchnorm(name=None, bn_weight_init: float = 1.0, epsilon: float = 1e-5, dtype=None):
-    # stats always reduce in f32 (flax force_float32_reductions) — bf16
-    # IO is bandwidth, not stability
-    return nn.BatchNorm(
-        use_running_average=None,  # passed via call kwarg `use_running_average`
+    return BatchNorm(
         momentum=0.9,
         epsilon=epsilon,
         scale_init=nn.initializers.constant(bn_weight_init),
-        dtype=dtype,
         name=name,
     )
 

@@ -173,9 +173,15 @@ def _bn_train_packed(xp, bn: Dict, stats: Dict, momentum: float = 0.9, eps: floa
     normalized tensor and the EMA-updated running stats."""
     B, h, w, C4 = xp.shape
     C = C4 // 4
-    xf = xp.reshape(B, h, w, 4, C).astype(jnp.float32)
-    mean = xf.mean(axis=(0, 1, 2, 3))
-    var = (xf * xf).mean(axis=(0, 1, 2, 3)) - mean * mean
+    # f32 accumulation happens INSIDE the reductions (fused convert) —
+    # materializing an f32 copy of the activation costs real HBM traffic
+    # (see models/layers.py::BatchNorm)
+    xg = xp.reshape(B, h, w, 4, C)
+    mean = jnp.mean(xg.astype(jnp.float32), axis=(0, 1, 2, 3))
+    var = (
+        jnp.mean(xg.astype(jnp.float32) * xg.astype(jnp.float32), axis=(0, 1, 2, 3))
+        - mean * mean
+    )
     inv = bn["scale"] / jnp.sqrt(var + eps)
     y = xp * tile4(inv).astype(xp.dtype) + tile4(bn["bias"] - mean * inv).astype(xp.dtype)
     new_stats = {

@@ -130,6 +130,36 @@ def resize_bilinear(x, size, align_corners: bool = False, spatial_axes=(1, 2)):
     return x
 
 
+def resize_bilinear_2x_packed(x, align_corners: bool = True):
+    """2x bilinear upsample of NHWC ``x`` emitted directly in the packed
+    space-to-depth layout: [B,H,W,C] -> [B,H,W,4C] whose channel blocks are
+    the four fine phases (py,px) of the [B,2H,2W,C] result, matching
+    ``ops.packed_conv.pack_nhwc`` ordering.
+
+    Exactly ``pack_nhwc(resize_bilinear(x, (2H,2W), align_corners))`` with
+    the transpose fused away — the decoder's full-resolution stage can then
+    stay on the packed layout end-to-end (lane-starved 32-channel fine
+    tensors are the train step's main HBM cost; see
+    models/layers.py::MaybePackedConv)."""
+    B, H, W, C = x.shape
+    i0, i1, w = _linear_coeffs(H, 2 * H, align_corners)
+    rows = []
+    for py in (0, 1):
+        a = jnp.take(x, jnp.asarray(i0[py::2]), axis=1)
+        b = jnp.take(x, jnp.asarray(i1[py::2]), axis=1)
+        wp = jnp.asarray(w[py::2]).reshape(1, H, 1, 1).astype(x.dtype)
+        rows.append(a * (1 - wp) + b * wp)
+    j0, j1, v = _linear_coeffs(W, 2 * W, align_corners)
+    outs = []
+    for py in (0, 1):
+        for px in (0, 1):
+            a = jnp.take(rows[py], jnp.asarray(j0[px::2]), axis=2)
+            b = jnp.take(rows[py], jnp.asarray(j1[px::2]), axis=2)
+            vp = jnp.asarray(v[px::2]).reshape(1, 1, W, 1).astype(x.dtype)
+            outs.append(a * (1 - vp) + b * vp)
+    return jnp.concatenate(outs, axis=-1)
+
+
 def _cubic_kernel(t: np.ndarray, a: float = -0.75) -> np.ndarray:
     """Cubic convolution kernel (Keys), torch uses a=-0.75."""
     t = np.abs(t)

@@ -143,11 +143,14 @@ def build_loss_fn(model, cfg: TrainConfig) -> Callable:
 
         if cfg.remat:
             fwd = jax.checkpoint(fwd)
+        from tcct_tpu.models.layers import packed_convs
         from tcct_tpu.ops.resize import resize_impl
 
-        # gather-form resizes differentiate much faster than the matmul
-        # form (see ops/resize.py); this is a trace-time choice
-        with resize_impl("gather"):
+        # trace-time lowering choices: gather-form resizes differentiate
+        # much faster than the matmul form (see ops/resize.py); with
+        # packed_cnn the small-channel decoder/aux convs also lower to the
+        # exact space-to-depth form (models/layers.py::MaybePackedConv)
+        with resize_impl("gather"), packed_convs(cfg.packed_cnn):
             (pyr, feats, aux), updates = fwd(variables, img, true_oh)
         pyr = [to_f32(p) for p in pyr]
         aux = to_f32(aux)

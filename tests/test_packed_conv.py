@@ -110,3 +110,36 @@ def test_packed_training_matches_plain():
         losses[packed] = (float(m1["total"]), float(m2["total"]))
     assert abs(losses[False][0] - losses[True][0]) < 1e-3
     assert abs(losses[False][1] - losses[True][1]) < 1e-3
+
+
+def test_packed_training_drift_100_steps():
+    """Long-horizon bound for making packed_cnn a safe default: 100 full
+    optimizer steps (DS dice, AdamW, augmentation off, fixed batch) with
+    the packed lowering vs plain, loss drift bounded at every step."""
+    from tcct_tpu.models import RegNet, get_model
+    from tcct_tpu.train import TrainConfig, build_train_step
+    from tcct_tpu.train.state import create_train_state, make_optimizer
+
+    model = RegNet(base=get_model("stc_tt", 5), out_channels=5)
+    opt = make_optimizer(steps_per_epoch=10)
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8))
+    labs = jnp.asarray(rng.integers(0, 5, (2, 64, 64)).astype(np.uint8))
+    traj = {}
+    for packed in [False, True]:
+        cfg = TrainConfig(
+            n_class=5, crop_hw=(64, 64), ds=True, augment=False,
+            packed_cnn=packed,
+        )
+        state = create_train_state(
+            model, opt, jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 5)),
+        )
+        step = build_train_step(model, opt, cfg)
+        losses = []
+        for _ in range(100):
+            state, m = step(state, imgs, labs)
+            losses.append(m["total"])
+        traj[packed] = np.asarray(jax.device_get(losses), np.float64)
+    rel = np.abs(traj[True] - traj[False]) / np.abs(traj[False])
+    assert rel.max() < 1e-2, (rel.argmax(), rel.max())
