@@ -136,10 +136,13 @@ def bench_train(bs=8, hw=(256, 256), iters=20):
 
 def main():
     log(f"devices: {jax.devices()}")
+    # headline: packed CNN branch + the MXU-lowered metapool (shift-adds +
+    # tridiag matmul, ops/pool.py — measured faster than both the
+    # reduce_window form and the Pallas kernel)
     infer_tput, infer_dt = bench_inference(
-        dtype=jnp.bfloat16, cnn_impl="packed", mixer="metapool_pallas"
+        dtype=jnp.bfloat16, cnn_impl="packed", mixer="metapool"
     )
-    log(f"inference bf16+packed+pallas-mixer bs=8 256^2: {infer_dt*1e3:.2f} ms/step = {infer_tput:.1f} B-scans/s")
+    log(f"inference bf16+packed+mxu-mixer bs=8 256^2: {infer_dt*1e3:.2f} ms/step = {infer_tput:.1f} B-scans/s")
     try:
         p_tput, p_dt = bench_inference(dtype=jnp.bfloat16, cnn_impl="plain")
         log(f"inference bf16 plain  bs=8 256^2: {p_dt*1e3:.2f} ms/step = {p_tput:.1f} B-scans/s")

@@ -60,8 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stochastic_val", type=str2bool, default=True,
                    help="reproduce the reference's random val-time flips (octgen.py:21-25)")
     p.add_argument("--import_pt", type=str, default="", help="torch .pt checkpoint to import before training")
-    p.add_argument("--packed_cnn", type=str2bool, default=False,
-                   help="space-to-depth CNN branch in training (exact, ~1.3x; FTC models, crop %% 32 == 0)")
+    p.add_argument("--packed_cnn", type=str2bool, default=None,
+                   help="space-to-depth conv lowering in training (exact, ~1.3x). "
+                        "Default: auto — ON for FTC models with a CNN branch and crop %% 32 == 0 "
+                        "(verified bit-close over 100 steps, tests/test_packed_conv.py)")
     return p
 
 
@@ -78,6 +80,17 @@ def main(argv=None):
 
     base = get_model(args.net, nc, variant=args.variant, mixer=args.mixer)
     net = RegNet(base=base, out_channels=nc, con=args.type_udh)
+
+    if args.packed_cnn is None:
+        from tcct_tpu.models.ftc import FTC
+
+        args.packed_cnn = (
+            isinstance(base, FTC)
+            and base.flag_cnn
+            and args.crop % 32 == 0
+        )
+        if args.packed_cnn:
+            print("PACKED-CONV training lowering: on (auto; --packed_cnn=0 to disable)")
 
     # --pl: data-parallel over the ('data',) mesh (the reference parses the
     # same flag and silently ignores it, task1/kite/main.py:47). The mesh

@@ -223,9 +223,15 @@ class BatchNorm(nn.Module):
                 m = self.momentum
                 ra_mean.value = m * ra_mean.value.astype(jnp.float32) + (1 - m) * mean.astype(jnp.float32)
                 ra_var.value = m * ra_var.value.astype(jnp.float32) + (1 - m) * var.astype(jnp.float32)
-        inv = jax.lax.rsqrt(var.astype(jnp.float32) + self.epsilon) * scale.astype(jnp.float32)
-        shift = bias.astype(jnp.float32) - mean.astype(jnp.float32) * inv
-        return x * inv.astype(x.dtype) + shift.astype(x.dtype)
+        # normalize with flax's exact expression order ((x-mean)*inv+bias,
+        # not the folded x*inv+shift form) — the folded form's different
+        # rounding structure measurably perturbs deep-backward gradients
+        # (tests/test_train_parity.py)
+        inv = jax.lax.rsqrt(var.astype(jnp.float32) + self.epsilon) * scale.astype(
+            jnp.float32
+        )
+        dt = x.dtype
+        return (x - mean.astype(dt)) * inv.astype(dt) + bias.astype(dt)
 
 
 def batchnorm(name=None, bn_weight_init: float = 1.0, epsilon: float = 1e-5, dtype=None):

@@ -89,14 +89,48 @@ def max_pool_2d(x, window: int = 2, stride: int | None = None, spatial_axes=(1, 
     )
 
 
-def metapool_tokens(x):
-    """Reference-faithful MetaPool on a [B, N, C] token tensor.
+def metapool_tokens_reference(x):
+    """Reference-faithful MetaPool on a [B, N, C] token tensor via
+    reduce_window — the semantics anchor for :func:`metapool_tokens`.
 
     Computes ``AvgPool2d(3, 1, pad=1, count_include_pad=False)(x) - x``
     where the 3x3 window slides over the (N, C) axes, exactly as the
     reference applies it (task1/nets/tcct.py:412-415 on a 3-D tensor).
     """
     return avg_pool_2d(x, 3, 1, 1, count_include_pad=False, spatial_axes=(1, 2)) - x
+
+
+def _tridiag_ones(n: int) -> np.ndarray:
+    m = np.zeros((n, n), np.float32)
+    i = np.arange(n)
+    m[i, i] = 1.0
+    m[i[:-1], i[:-1] + 1] = 1.0
+    m[i[1:], i[1:] - 1] = 1.0
+    return m
+
+
+def metapool_tokens(x):
+    """MetaPool on [B, N, C] tokens, TPU-lowered: the 3x3 (token, channel)
+    window sum factorizes into shift-adds along N (cheap sublane slices)
+    and a tridiagonal ones-matrix contraction along C (rides the MXU),
+    then the static count_include_pad=False count map divides it.  Same
+    math as :func:`metapool_tokens_reference` (reassociated; ~1e-6) —
+    reduce_window was 1.5 ms/step of the v5e train step."""
+    B, N, C = x.shape
+    xf = x.astype(jnp.float32)
+    rows = (
+        xf
+        + jnp.pad(xf[:, 1:], ((0, 0), (0, 1), (0, 0)))
+        + jnp.pad(xf[:, :-1], ((0, 0), (1, 0), (0, 0)))
+    )
+    summed = jnp.einsum(
+        "bnc,cd->bnd", rows, jnp.asarray(_tridiag_ones(C)),
+        preferred_element_type=jnp.float32,
+    )
+    cn = _axis_counts(N, 3, 1, 1)
+    cc = _axis_counts(C, 3, 1, 1)
+    inv = jnp.asarray(1.0 / (cn[:, None] * cc[None, :]))
+    return (summed * inv).astype(x.dtype) - x
 
 
 def metapool_spatial(x, size):

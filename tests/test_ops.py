@@ -39,3 +39,18 @@ def test_metapool_tokens(golden):
     g = golden("ops")
     out = metapool_tokens(jnp.asarray(g["tok"]))
     np.testing.assert_allclose(out, g["meta"], rtol=1e-5, atol=1e-5)
+
+
+def test_metapool_fast_lowering_matches_reference():
+    """The MXU-lowered metapool (shift-adds + tridiag matmul) must match
+    the reduce_window reference formulation to reassociation noise."""
+    from tcct_tpu.ops.pool import metapool_tokens, metapool_tokens_reference
+
+    rng = np.random.default_rng(7)
+    for shape in [(2, 196, 64), (1, 5, 3), (3, 64, 96), (2, 1024, 160)]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(metapool_tokens(x)),
+            np.asarray(metapool_tokens_reference(x)),
+            atol=2e-6,
+        )
