@@ -98,25 +98,33 @@ def bench_train(bs=8, hw=(256, 256), iters=20):
     )
     step = build_train_step(model, opt, cfg)
     rng = np.random.default_rng(0)
-    imgs = jnp.asarray(rng.integers(0, 255, (bs, 300, 512, 3), dtype=np.uint8))
-    labs = jnp.asarray(rng.integers(0, n_class, (bs, 300, 512)).astype(np.uint8))
+    imgs = jnp.asarray(rng.integers(0, 255, (24, 300, 512, 3), dtype=np.uint8))
+    labs = jnp.asarray(rng.integers(0, n_class, (24, 300, 512)).astype(np.uint8))
+
+    # measure the trainer's ACTUAL hot path: the whole-epoch lax.scan
+    # (Trainer.fit/train_epoch) — per-step dispatch overhead (~2.4 ms on
+    # the axon tunnel) is amortized inside the compiled epoch
+    from tcct_tpu.train.step import build_train_epoch
+
+    steps_per_epoch = 24
+    epoch_fn = build_train_epoch(model, opt, cfg)
+    idx = jnp.asarray(rng.integers(0, 24, (steps_per_epoch, bs)))
     t0 = time.time()
-    state, m = step(state, imgs, labs)
-    jax.block_until_ready(m["total"])
-    log(f"train step compile+first: {time.time()-t0:.1f}s")
-    state, m = step(state, imgs, labs)
-    jax.block_until_ready(m["total"])
+    state, losses = epoch_fn(state, imgs, labs, idx)
+    jax.block_until_ready(losses)
+    log(f"train epoch compile+first: {time.time()-t0:.1f}s")
     t0 = time.time()
-    for _ in range(iters):
-        state, m = step(state, imgs, labs)
-    jax.block_until_ready(m["total"])
-    dt = (time.time() - t0) / iters
+    n_epochs = max(iters // steps_per_epoch, 2)
+    for _ in range(n_epochs):
+        state, losses = epoch_fn(state, imgs, labs, idx)
+    jax.block_until_ready(losses)
+    dt = (time.time() - t0) / (n_epochs * steps_per_epoch)
 
     # HLO cost-analysis roofline: attainable step time on this chip is
     # max(flops/peak_flops, bytes/peak_bw); report achieved % of that.
     mfu_pct = None
     try:
-        ca = step.lower(state, imgs, labs).compile().cost_analysis()
+        ca = step.lower(state, imgs[:bs], labs[:bs]).compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))

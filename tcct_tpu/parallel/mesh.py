@@ -56,11 +56,29 @@ def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
+    """Shard a batch's leading axis over ('data',).  On a multi-host mesh
+    each process holds the full batch and materializes only its local
+    shards (see parallel/distributed.py)."""
+    from tcct_tpu.parallel.distributed import is_multiprocess_mesh, make_global_array
+
+    if is_multiprocess_mesh(mesh):
+        return jax.tree_util.tree_map(
+            lambda x: make_global_array(
+                mesh, P("data", *([None] * (np.ndim(x) - 1))), x
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, data_sharding(mesh, x.ndim)), batch
     )
 
 
 def replicate(mesh: Mesh, tree):
+    from tcct_tpu.parallel.distributed import is_multiprocess_mesh, make_global_array
+
+    if is_multiprocess_mesh(mesh):
+        return jax.tree_util.tree_map(
+            lambda x: make_global_array(mesh, P(), x), tree
+        )
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
