@@ -66,6 +66,19 @@ def is_multiprocess_mesh(mesh) -> bool:
     return any(d.process_index != me for d in mesh.devices.flat)
 
 
+def barrier(name: str, timeout_s: int = 600) -> None:
+    """Cross-process barrier through the jax.distributed coordination
+    service (NOT a device collective — usable to line ranks up BEFORE the
+    first Gloo/ICI collective, whose peer-join timeout is short compared
+    to a large XLA compile on a busy host)."""
+    from jax._src import distributed as _dist
+
+    client = getattr(_dist.global_state, "client", None)
+    if client is None:
+        return  # single-process: nothing to synchronize
+    client.wait_at_barrier(name, timeout_in_ms=timeout_s * 1000)
+
+
 def make_global_array(mesh, pspec, host_value):
     """Build a (possibly cross-host) array from a host-local full copy.
 

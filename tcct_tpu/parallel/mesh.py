@@ -22,8 +22,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
 ) -> Mesh:
+    """Build a device mesh.  ``shape`` partitions the devices over the
+    named axes (e.g. ``make_mesh(8, ('data','model'), shape=(2,4))`` for
+    batch-DP x spatial sharding); default puts everything on the first
+    axis."""
     devs = jax.devices()
     n = n_devices or len(devs)
     if len(devs) < n:
@@ -36,12 +42,11 @@ def make_mesh(
             "__graft_entry__.dryrun_multichip which self-provisions one."
         )
     devs = np.array(devs[:n])
-    if len(axis_names) == 1:
-        shape = (n,)
-    else:
-        # fold extra axes as size-1 unless explicitly reshaped by caller
+    if shape is None:
         shape = (n,) + (1,) * (len(axis_names) - 1)
-    return Mesh(devs.reshape(shape), axis_names)
+    if int(np.prod(shape)) != n:
+        raise ValueError(f"mesh shape {shape} != {n} devices")
+    return Mesh(devs.reshape(tuple(shape)), axis_names)
 
 
 def pick_dp_devices(bs: int, n_devices: int) -> int:
@@ -51,8 +56,18 @@ def pick_dp_devices(bs: int, n_devices: int) -> int:
 
 
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Shard the leading (batch) axis over 'data', replicate the rest."""
-    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+    """Shard the leading (batch) axis over 'data'.  When the mesh also has
+    a non-trivial 'model' axis, NHWC tensors additionally shard their
+    width over it (spatial sharding for wide full-volume inputs — GSPMD
+    inserts the conv halo exchanges; SURVEY §5 long-input path)."""
+    spec: list = ["data"] + [None] * (ndim - 1)
+    if (
+        ndim == 4
+        and "model" in mesh.axis_names
+        and mesh.shape.get("model", 1) > 1
+    ):
+        spec[2] = "model"
+    return NamedSharding(mesh, P(*spec))
 
 
 def shard_batch(mesh: Mesh, batch):

@@ -41,7 +41,15 @@ def _step_loss(mesh):
     with mesh:
         state = replicate(mesh, state)
         batch = shard_batch(mesh, (imgs, labs))
-        _, metrics = step(state, *batch)
+        # compile first, then line the ranks up through the coordination
+        # service — on a busy 1-core host, compile skew between ranks can
+        # exceed the Gloo peer-join timeout if the first collective starts
+        # while the other rank is still compiling
+        compiled = step.lower(state, *batch).compile()
+        from tcct_tpu.parallel.distributed import barrier
+
+        barrier("compiled_train_step")
+        _, metrics = compiled(state, *batch)
     return float(metrics["total"])
 
 

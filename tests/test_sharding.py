@@ -49,6 +49,32 @@ def test_sharded_volume_predictor():
     np.testing.assert_array_equal(a, b)
 
 
+def test_spatial_sharded_predictor_matches():
+    """2-D mesh (batch-DP x spatial width sharding): GSPMD inserts the
+    conv halo exchanges; argmax must match the unsharded predictor
+    (SURVEY §5 long-input path)."""
+    from tcct_tpu.data.geometry import DatasetGeometry
+    from tcct_tpu.infer.predictor import VolumePredictor
+    from tcct_tpu.models import RegNet, get_model
+    from tcct_tpu.parallel import make_mesh, replicate
+
+    mesh = make_mesh(8, ("data", "model"), shape=(2, 4))
+    assert mesh.shape["model"] == 4
+    net = RegNet(base=get_model("stc_tt", 5, variant="infer"), out_channels=5)
+    x = jnp.zeros((1, 64, 256, 3))
+    v = net.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    geo = DatasetGeometry("wide", 5, 0, 64, "resize", (64, 256))
+
+    plain = VolumePredictor(net, v, geo, batch_size=4, dtype=jnp.float32)
+    sharded = VolumePredictor(
+        net, replicate(mesh, v), geo, batch_size=4, dtype=jnp.float32, mesh=mesh
+    )
+    vol = np.random.default_rng(5).integers(0, 255, (4, 64, 256, 3), dtype=np.uint8)
+    a = plain.predict_scans(vol)
+    b = sharded.predict_scans(vol)
+    assert (a == b).mean() > 0.999  # halo reassociation can flip rare ties
+
+
 def test_pick_dp_devices():
     from tcct_tpu.parallel import pick_dp_devices
 
