@@ -98,6 +98,18 @@ class MultiLoss:
         if gt.ndim == pr.ndim - 1 or gt.shape[-1] != nc:
             gt = jax.nn.one_hot(gt, nc, dtype=pr.dtype)
         w = self.weights if self.weights is not None else (1.0,) * nc
+        axes = tuple(range(pr.ndim - 1))
+        # vectorized per-class forms: ONE pass over the tensor instead of
+        # nc strided channel-slice reductions (profiled on v5e; same math
+        # as the per-class loop, reassociated)
+        if isinstance(self.base, DiceLoss) and not self.base.bi:
+            inter = jnp.sum(pr * gt, axis=axes)
+            union = jnp.sum(pr, axis=axes) + jnp.sum(gt, axis=axes)
+            dice = (1.0 + 2.0 * inter) / (1.0 + union)
+            return jnp.sum(jnp.asarray(w) * (1.0 - dice))
+        if isinstance(self.base, MSELoss):
+            mse = jnp.mean((pr - gt) ** 2, axis=axes)
+            return jnp.sum(jnp.asarray(w) * mse)
         total = 0.0
         for i in range(nc):
             total = total + w[i] * self.base(pr[..., i], gt[..., i])
