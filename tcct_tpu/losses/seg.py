@@ -193,18 +193,27 @@ def mdice_score(pr, gt, smooth: float = 1.0):
     return jnp.mean((2.0 * inter + smooth) / union)
 
 
+def _dice_by_class(pr, gt, smooth: float = 1.0):
+    """Per-class, per-sample dice in ONE pass over [B, ..., C] tensors
+    (the per-class channel-slice loop costs nc strided full-tensor
+    reductions), batch-averaged -> [C]."""
+    B, nc = pr.shape[0], pr.shape[-1]
+    prf = pr.reshape(B, -1, nc)
+    gtf = gt.reshape(B, -1, nc)
+    inter = jnp.sum(prf * gtf, axis=1)
+    union = jnp.sum(prf, axis=1) + jnp.sum(gtf, axis=1) + smooth
+    return jnp.mean((2.0 * inter + smooth) / union, axis=0)
+
+
 def mdice_scorem(pr, gt, start_idx: int = 0):
     """Mean per-class dice over classes >= start_idx (miou.py:87-91).
     pr/gt: [B, H, W, C] one-hot / binarized."""
-    nc = pr.shape[-1]
-    scores = [mdice_score(pr[..., i], gt[..., i]) for i in range(start_idx, nc)]
-    return sum(scores) / (nc - start_idx)
+    return jnp.mean(_dice_by_class(pr, gt)[start_idx:])
 
 
 def mdice_scores(pr, gt):
     """Per-class dice vector (miou.py:82-85)."""
-    nc = pr.shape[-1]
-    return jnp.stack([mdice_score(pr[..., i], gt[..., i]) for i in range(nc)])
+    return _dice_by_class(pr, gt)
 
 
 def miou_score(pr, gt, smooth: float = 1.0):
@@ -218,9 +227,13 @@ def miou_score(pr, gt, smooth: float = 1.0):
 
 
 def miou_scorem(pr, gt, start_idx: int = 0):
-    nc = pr.shape[-1]
-    scores = [miou_score(pr[..., i], gt[..., i]) for i in range(start_idx, nc)]
-    return sum(scores) / (nc - start_idx)
+    B, nc = pr.shape[0], pr.shape[-1]
+    prf = pr.reshape(B, -1, nc)
+    gtf = gt.reshape(B, -1, nc)
+    inter = jnp.sum(prf * gtf, axis=1)
+    union = jnp.sum(prf, axis=1) + jnp.sum(gtf, axis=1) - inter + 1.0
+    iou = jnp.mean((inter + 1.0) / union, axis=0)
+    return jnp.mean(iou[start_idx:])
 
 
 # ---------------------------------------------------------------------------
