@@ -70,6 +70,16 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    import os
+
+    if os.environ.get("TCCT_COORDINATOR") or os.environ.get("TCCT_NUM_PROCESSES"):
+        # multi-host launch (one process per host): bring up the
+        # jax.distributed runtime before any device query so jax.devices()
+        # is global and --pl's mesh spans hosts (parallel/distributed.py)
+        from tcct_tpu.parallel import init_distributed
+
+        init_distributed()
+
     from tcct_tpu.data import EyeSet
     from tcct_tpu.models import RegNet, get_model
     from tcct_tpu.train import TrainConfig, Trainer
