@@ -23,6 +23,7 @@ from __future__ import annotations
 import contextlib
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -103,6 +104,66 @@ def _apply_axis_matrix(x, m: np.ndarray, axis: int):
     return jnp.einsum(eq, x, mm, preferred_element_type=x.dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _adjoint_table(i0_t, i1_t, w_t, in_size: int):
+    """Static transpose of a gather-lerp axis map: for each INPUT index i,
+    the (output index, weight) pairs that read it, padded to a fixed K."""
+    contrib = [[] for _ in range(in_size)]
+    for j, (a, b, w) in enumerate(zip(i0_t, i1_t, w_t)):
+        contrib[a].append((j, 1.0 - w))
+        contrib[b].append((j, w))
+    K = max(len(c) for c in contrib)
+    idx = np.zeros((in_size, K), np.int32)
+    wt = np.zeros((in_size, K), np.float32)
+    for i, c in enumerate(contrib):
+        for k, (j, w) in enumerate(c):
+            idx[i, k] = j
+            wt[i, k] = w
+    return idx, wt, K
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _gather_lerp(x, i0_t, i1_t, w_t, axis: int, in_size: int):
+    """1-D linear interpolation along ``axis`` via two gathers, with a
+    GATHER-based adjoint: jax's autodiff transposes ``take`` into
+    scatter-adds, which don't vectorize on TPU — the transpose of a
+    static lerp is just another static gather-weighted sum."""
+    x0 = jnp.take(x, jnp.asarray(np.asarray(i0_t)), axis=axis)
+    x1 = jnp.take(x, jnp.asarray(np.asarray(i1_t)), axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = len(i0_t)
+    w = jnp.asarray(np.asarray(w_t)).reshape(shape).astype(x.dtype)
+    return x0 * (1 - w) + x1 * w
+
+
+def _gather_lerp_fwd(x, i0_t, i1_t, w_t, axis, in_size):
+    return _gather_lerp(x, i0_t, i1_t, w_t, axis, in_size), None
+
+
+def _gather_lerp_bwd(i0_t, i1_t, w_t, axis, in_size, _res, g):
+    idx, wt, K = _adjoint_table(i0_t, i1_t, w_t, in_size)
+    shape = [1] * g.ndim
+    shape[axis] = in_size
+    acc = None
+    for k in range(K):
+        term = jnp.take(g, jnp.asarray(idx[:, k]), axis=axis) * jnp.asarray(
+            wt[:, k]
+        ).reshape(shape).astype(g.dtype)
+        acc = term if acc is None else acc + term
+    return (acc,)
+
+
+_gather_lerp.defvjp(_gather_lerp_fwd, _gather_lerp_bwd)
+
+
+def _lerp_axis(x, i0, i1, w, axis: int):
+    """Gather-lerp with the custom gather-adjoint backward."""
+    return _gather_lerp(
+        x, tuple(int(v) for v in i0), tuple(int(v) for v in i1),
+        tuple(float(v) for v in w), axis % x.ndim, x.shape[axis % x.ndim],
+    )
+
+
 def _resize_axis_linear(x, out_size: int, axis: int, align_corners: bool):
     in_size = x.shape[axis]
     if in_size == out_size:
@@ -110,12 +171,7 @@ def _resize_axis_linear(x, out_size: int, axis: int, align_corners: bool):
     if _USE_MATMUL and in_size <= _MATMUL_RESIZE_MAX_IN:
         return _apply_axis_matrix(x, _linear_matrix(in_size, out_size, align_corners), axis)
     i0, i1, w = _linear_coeffs(in_size, out_size, align_corners)
-    x0 = jnp.take(x, jnp.asarray(i0), axis=axis)
-    x1 = jnp.take(x, jnp.asarray(i1), axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = out_size
-    w = jnp.asarray(w).reshape(shape).astype(x.dtype)
-    return x0 * (1 - w) + x1 * w
+    return _lerp_axis(x, i0, i1, w, axis)
 
 
 def resize_bilinear(x, size, align_corners: bool = False, spatial_axes=(1, 2)):
@@ -143,20 +199,13 @@ def resize_bilinear_2x_packed(x, align_corners: bool = True):
     models/layers.py::MaybePackedConv)."""
     B, H, W, C = x.shape
     i0, i1, w = _linear_coeffs(H, 2 * H, align_corners)
-    rows = []
-    for py in (0, 1):
-        a = jnp.take(x, jnp.asarray(i0[py::2]), axis=1)
-        b = jnp.take(x, jnp.asarray(i1[py::2]), axis=1)
-        wp = jnp.asarray(w[py::2]).reshape(1, H, 1, 1).astype(x.dtype)
-        rows.append(a * (1 - wp) + b * wp)
+    rows = [_lerp_axis(x, i0[py::2], i1[py::2], w[py::2], 1) for py in (0, 1)]
     j0, j1, v = _linear_coeffs(W, 2 * W, align_corners)
-    outs = []
-    for py in (0, 1):
-        for px in (0, 1):
-            a = jnp.take(rows[py], jnp.asarray(j0[px::2]), axis=2)
-            b = jnp.take(rows[py], jnp.asarray(j1[px::2]), axis=2)
-            vp = jnp.asarray(v[px::2]).reshape(1, 1, W, 1).astype(x.dtype)
-            outs.append(a * (1 - vp) + b * vp)
+    outs = [
+        _lerp_axis(rows[py], j0[px::2], j1[px::2], v[px::2], 2)
+        for py in (0, 1)
+        for px in (0, 1)
+    ]
     return jnp.concatenate(outs, axis=-1)
 
 
