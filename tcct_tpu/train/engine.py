@@ -112,12 +112,17 @@ class Trainer:
         # device-resident dataset (replicated across the mesh under DP so
         # the in-scan batch gather is local; batches reshard to ('data',)
         # inside the step).  In streaming mode the train split stays on
-        # disk; val/test are small and stay device-resident.
-        self._dev = {
-            split: (jnp.asarray(im), jnp.asarray(lb))
-            for split, (im, lb) in dataset.splits.items()
-            if not (streaming and split == "train")
-        }
+        # disk; val/test are small and stay device-resident — but when a
+        # dataset has no val dir, EyeSet aliases val to the (beyond-HBM)
+        # train split, so cap what gets uploaded (TCCT_VAL_CAP scans).
+        val_cap = int(os.environ.get("TCCT_VAL_CAP", 256))
+        self._dev = {}
+        for split, (im, lb) in dataset.splits.items():
+            if streaming and split == "train":
+                continue
+            if streaming and im.nbytes + lb.nbytes > hbm_budget_bytes:
+                im, lb = im[:val_cap], lb[:val_cap]
+            self._dev[split] = (jnp.asarray(im), jnp.asarray(lb))
         if mesh is not None:
             from tcct_tpu.parallel.mesh import replicate
 

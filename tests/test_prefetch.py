@@ -101,3 +101,34 @@ def test_streaming_trainer_from_disk(tmp_path):
     with pytest.raises(ValueError):
         Trainer(model, ds_syn, cfg, root=str(tmp_path / "exp3"), bs=2,
                 streaming=True)
+
+
+def test_streaming_caps_oversized_val_alias(tmp_path):
+    """When the dataset has no val dir, EyeSet aliases val to the train
+    split; streaming mode must not upload the whole beyond-HBM alias."""
+    import os as _os
+
+    from tcct_tpu.data import EyeSet
+    from tcct_tpu.models import RegNet, get_model
+    from tcct_tpu.train import TrainConfig, Trainer
+
+    root = str(tmp_path)
+    _os.makedirs(root + "/goals/train_img")
+    _os.makedirs(root + "/goals/train_lab")
+    rng = np.random.default_rng(1)
+    for i in range(6):
+        img = rng.integers(0, 255, (200, 512, 3), dtype=np.uint8)
+        lab = (rng.integers(0, 5, (200, 512)) * 30).astype(np.uint8)
+        cv2.imwrite(f"{root}/goals/train_img/{i}.png", img)
+        cv2.imwrite(f"{root}/goals/train_lab/{i}.png", lab)
+    ds = EyeSet.load("goals", root=root)
+    model = RegNet(base=get_model("relay", ds.out_channels), out_channels=ds.out_channels)
+    cfg = TrainConfig(n_class=ds.out_channels, crop_hw=(64, 64), ds=True)
+    _os.environ["TCCT_VAL_CAP"] = "2"
+    try:
+        tr = Trainer(model, ds, cfg, root=str(tmp_path / "exp"), bs=2,
+                     debug=True, hbm_budget_bytes=1)
+    finally:
+        del _os.environ["TCCT_VAL_CAP"]
+    assert tr.streaming and "train" not in tr._dev
+    assert tr._dev["val"][0].shape[0] == 2  # capped, not the full alias
