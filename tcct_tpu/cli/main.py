@@ -72,6 +72,15 @@ def main(argv=None):
 
     import os
 
+    if os.environ.get("JAX_PLATFORMS"):
+        # this environment's sitecustomize force-selects its TPU backend
+        # AFTER jax reads JAX_PLATFORMS; re-assert the user's choice so
+        # e.g. JAX_PLATFORMS=cpu + --xla_force_host_platform_device_count
+        # gives a virtual multi-device CLI run
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     if os.environ.get("TCCT_COORDINATOR") or os.environ.get("TCCT_NUM_PROCESSES"):
         # multi-host launch (one process per host): bring up the
         # jax.distributed runtime before any device query so jax.devices()
