@@ -110,6 +110,12 @@ class EyeSet:
     splits: Dict[str, Tuple[np.ndarray, np.ndarray]]  # split -> (imgs, labs)
     paths: Dict[str, List[str]]
     synthetic: bool = False
+    # (img_path, lab_path-or-None) pairs as resolved at load time — the
+    # streaming pipeline consumes these instead of re-deriving label paths
+    # by substring replacement
+    pairs: Dict[str, List[Tuple[str, Optional[str]]]] = dataclasses.field(
+        default_factory=dict
+    )
 
     @property
     def out_channels(self) -> int:
@@ -145,33 +151,38 @@ class EyeSet:
             train_imgs = _glob_pair(folder, "train_img")
             val_imgs = _glob_pair(folder, "val_img") or list(train_imgs)
             test_imgs = _glob_pair(folder, "test_img")
+            pairs: Dict[str, List[Tuple[str, Optional[str]]]] = {}
             for split, img_paths, img_key, lab_key in [
                 ("train", train_imgs, "train_img", "train_lab"),
                 ("val", val_imgs, "val_img", "val_lab"),
                 ("test", test_imgs, "test_img", "test_lab"),
             ]:
                 ims, lbs = [], []
+                split_pairs: List[Tuple[str, Optional[str]]] = []
                 for p in img_paths:
                     lp = p.replace(img_key, lab_key).replace("train_img", "train_lab")
                     img = cv2.imread(p, cv2.IMREAD_COLOR)
                     if img is None:
                         raise IOError(f"unreadable image file in {split} split: {p}")
+                    has_lab = os.path.exists(lp)
                     lab = (
                         cv2.imread(lp, cv2.IMREAD_GRAYSCALE)
-                        if os.path.exists(lp)
+                        if has_lab
                         else np.zeros(img.shape[:2], np.uint8)
                     )
                     lab = lab // geo.divide
                     img, lab = _prep(geo, img, lab)
                     ims.append(img)
                     lbs.append(lab)
+                    split_pairs.append((p, lp if has_lab else None))
                 if ims:
                     splits[split] = (np.stack(ims), np.stack(lbs))
                     paths[split] = img_paths
+                    pairs[split] = split_pairs
             if "train" in splits:
                 splits.setdefault("val", splits["train"])
                 splits.setdefault("test", splits["val"])
-                return cls(dbname, geo, splits, paths)
+                return cls(dbname, geo, splits, paths, pairs=pairs)
         # synthetic fallback
         tr = synthesize_oct(geo, synthetic_n, seed=synthetic_seed)
         va = synthesize_oct(geo, max(synthetic_n // 3, 2), seed=synthetic_seed + 1)

@@ -133,8 +133,20 @@ class MaybePackedConv(nn.Conv):
     def __call__(self, x):
         from tcct_tpu.ops.packed_conv import pack_nhwc, packed_conv, unpack_nhwc
 
-        if _PACK_CONVS and _PACK_IO and x.ndim == 4 and self._geom_eligible():
-            # caller-managed packed layout: x is [B,h,w,4*C_fine]
+        if _PACK_CONVS and _PACK_IO and x.ndim == 4:
+            # caller-managed packed layout: x is [B,h,w,4*C_fine].  A
+            # geometry-ineligible conv must NOT silently fall through to
+            # the plain path — it would consume the packed tensor with a
+            # fine-shaped kernel (wrong layout, possibly silently if
+            # params were initialized under this context).
+            if not self._geom_eligible():
+                raise ValueError(
+                    f"MaybePackedConv '{self.name}': packed_io() is active but "
+                    f"the conv geometry (kernel {self.kernel_size}, strides "
+                    f"{self.strides}, padding {self.padding}, groups "
+                    f"{self.feature_group_count}) is not packed-eligible — the "
+                    "caller owns the packed layout and must unpack first"
+                )
             kernel, bias = self._params(x.shape[-1] // 4)
             return packed_conv(
                 x,
@@ -234,7 +246,7 @@ class BatchNorm(nn.Module):
         return (x - mean.astype(dt)) * inv.astype(dt) + bias.astype(dt)
 
 
-def batchnorm(name=None, bn_weight_init: float = 1.0, epsilon: float = 1e-5, dtype=None):
+def batchnorm(name=None, bn_weight_init: float = 1.0, epsilon: float = 1e-5):
     return BatchNorm(
         momentum=0.9,
         epsilon=epsilon,

@@ -77,17 +77,32 @@ def _pack_plan(kh: int, kw: int):
     return KH, KW, -du_min, -dv_min, tuple(entries)
 
 
+@functools.lru_cache(maxsize=None)
+def _pack_matrix(kh: int, kw: int):
+    """Constant 0/1 scatter tensor M[ky,kx,du,dv,p,q] realizing the
+    fine-tap -> packed-tap mapping of ``_pack_plan``."""
+    KH, KW, pad_h, pad_w, entries = _pack_plan(kh, kw)
+    M = np.zeros((kh, kw, KH, KW, 4, 4), np.float32)
+    for du, dv, p, q, ky, kx in entries:
+        M[ky, kx, du, dv, p, q] = 1.0
+    return M, pad_h, pad_w
+
+
 def pack_kernel(W) -> Tuple[jnp.ndarray, Tuple[int, int], Tuple[int, int]]:
     """HWIO fine kernel -> (packed HWIO kernel [KH,KW,4Ci,4Co],
-    (pad_h, pad_w) explicit coarse padding)."""
+    (pad_h, pad_w) explicit coarse padding).
+
+    One einsum against a constant selection tensor — NOT a scatter chain:
+    the ``.at[].add`` formulation unrolled to ~50 dynamic-update-slices
+    per conv per step inside the epoch scan (profiled: ~1 ms/step of DUS
+    + their backward gathers on v5e)."""
     kh, kw, ci, co = W.shape
-    KH, KW, pad_h, pad_w, entries = _pack_plan(kh, kw)
-    Wp = jnp.zeros((KH, KW, 4 * ci, 4 * co), W.dtype)
-    for du, dv, p, q, ky, kx in entries:
-        Wp = Wp.at[du, dv, p * ci : (p + 1) * ci, q * co : (q + 1) * co].add(
-            W[ky, kx]
-        )
-    return Wp, (pad_h, pad_w)
+    M, pad_h, pad_w = _pack_matrix(kh, kw)
+    Wp = jnp.einsum(
+        "yxuvpq,yxio->uvpiqo", jnp.asarray(M, W.dtype), W
+    )
+    KH, KW = M.shape[2], M.shape[3]
+    return Wp.reshape(KH, KW, 4 * ci, 4 * co), (pad_h, pad_w)
 
 
 def tile4(v):

@@ -62,13 +62,13 @@ class TrainConfig:
     #                                 experiments
 
 
-def _constrain_data(mesh, *arrays, strict: bool = False):
+def _constrain_data(mesh, *arrays):
     """Pin the leading (batch) axis of each array to the ('data',) mesh axis.
 
-    Runs at trace time (shapes are static under jit), so the divisibility
-    check is free.  ``strict`` raises on a non-divisible batch (training
-    must actually shard); non-strict passes ragged batches through
-    replicated (eval tail batches).
+    Runs at trace time (shapes are static under jit).  A batch whose size
+    does not divide the mesh passes through replicated (streaming ragged
+    tails, eval tail batches); the "training must actually shard" check
+    lives in ``Trainer.__init__`` where bs is known.
     """
     if mesh is None:
         return arrays if len(arrays) > 1 else arrays[0]
@@ -80,11 +80,6 @@ def _constrain_data(mesh, *arrays, strict: bool = False):
         if a.shape[0] % n == 0:
             out.append(
                 jax.lax.with_sharding_constraint(a, data_sharding(mesh, a.ndim))
-            )
-        elif strict:
-            raise ValueError(
-                f"DP train step: batch size {a.shape[0]} not divisible by the "
-                f"{n}-device ('data',) mesh — pick bs % {n} == 0 or drop the mesh"
             )
         else:
             out.append(a)
@@ -180,7 +175,7 @@ def build_train_step(
     def train_step(state: TrainState, imgs_u8, labs_u8):
         # non-strict: a ragged tail batch (streaming epochs) runs replicated;
         # batch-size/mesh compatibility is validated at Trainer init
-        imgs_u8, labs_u8 = _constrain_data(mesh, imgs_u8, labs_u8, strict=False)
+        imgs_u8, labs_u8 = _constrain_data(mesh, imgs_u8, labs_u8)
         k_aug, k_gate, k_dp, k_reg, k_next = jax.random.split(
             jax.random.fold_in(state.rng, state.step), 5
         )
@@ -234,10 +229,14 @@ def build_train_epoch(model, optimizer, cfg: TrainConfig, mesh=None) -> Callable
             st, metrics = step(
                 st, jnp.take(imgs_u8, bi, 0), jnp.take(labs_u8, bi, 0)
             )
-            return st, metrics["total"]
+            # full metrics dict (total/los/udh/reg/epl) stacks through the
+            # scan — every active loss term is observable from the fast
+            # path, matching the reference's per-batch postfix
+            # (task1/kite/loop_seg.py:133)
+            return st, metrics
 
-        state, losses = jax.lax.scan(body, state, idx_plan)
-        return state, losses
+        state, metrics = jax.lax.scan(body, state, idx_plan)
+        return state, metrics
 
     return train_epoch
 
@@ -253,7 +252,7 @@ def build_eval_step(
 
     @partial(jax.jit, static_argnames=())
     def eval_step(state: TrainState, imgs_u8, labs_u8, key):
-        imgs_u8, labs_u8 = _constrain_data(mesh, imgs_u8, labs_u8, strict=False)
+        imgs_u8, labs_u8 = _constrain_data(mesh, imgs_u8, labs_u8)
         img, lab = val_augment_batch(imgs_u8, labs_u8, key, stochastic=stochastic_val)
         true_oh = jax.nn.one_hot(lab, cfg.n_class, dtype=jnp.float32)
         variables = cast_floating(state.variables(), cfg.dtype)
@@ -268,6 +267,53 @@ def build_eval_step(
         }
 
     return eval_step
+
+
+def build_eval_epoch(
+    model, cfg: TrainConfig, stochastic_val: bool = True, mesh=None
+) -> Callable:
+    """The WHOLE val pass as one compiled program: ``lax.scan`` at bs=1
+    over the device-resident split, metrics accumulated on device.
+
+    Per-scan math (flip keys, argmax one-hot, per-class Dice/IoU) is
+    identical to :func:`build_eval_step`'s host loop — same
+    ``fold_in(key, i)`` sequence, same bs=1 statistics — but the up-to-256
+    per-scan dispatches (+2 ``float()`` syncs each, ~2.4 ms apiece on the
+    axon tunnel) collapse into ONE dispatch and one device_get.  The
+    reference's val loop is a bs=1 DataLoader with per-batch host syncs
+    (task1/kite/loop_seg.py:66-106, octgen.py:84-86)."""
+
+    @jax.jit
+    def eval_epoch(state: TrainState, imgs_u8, labs_u8, key):
+        variables = cast_floating(state.variables(), cfg.dtype)
+
+        def body(_, i):
+            img_u8 = jax.lax.dynamic_index_in_dim(imgs_u8, i, 0, keepdims=True)
+            lab_u8 = jax.lax.dynamic_index_in_dim(labs_u8, i, 0, keepdims=True)
+            img, lab = val_augment_batch(
+                img_u8, lab_u8, jax.random.fold_in(key, i), stochastic=stochastic_val
+            )
+            true_oh = jax.nn.one_hot(lab, cfg.n_class, dtype=jnp.float32)
+            pyr, _ = model.apply(variables, img.astype(cfg.dtype), train=False)
+            logits = pyr[0] if isinstance(pyr, (list, tuple)) else pyr
+            logits = logits.astype(jnp.float32)
+            pred_oh = jax.nn.one_hot(
+                jnp.argmax(jax.nn.softmax(logits, -1), -1), cfg.n_class
+            )
+            return None, {
+                "val_f1s": mdice_scorem(pred_oh, true_oh, start_idx=1),
+                "val_iou": miou_scorem(pred_oh, true_oh, start_idx=1),
+                "scores": mdice_scores(pred_oh, true_oh),
+            }
+
+        _, ms = jax.lax.scan(body, None, jnp.arange(imgs_u8.shape[0]))
+        return {
+            "val_f1s": jnp.mean(ms["val_f1s"]),
+            "val_iou": jnp.mean(ms["val_iou"]),
+            "scores": jnp.mean(ms["scores"], axis=0),
+        }
+
+    return eval_epoch
 
 
 def build_predict(model, n_class: int) -> Callable:

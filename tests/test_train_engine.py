@@ -72,3 +72,21 @@ def test_stochastic_val_reference_quirk(trainer):
     a = trainer.val(epoch=3)
     b = trainer.val(epoch=3)
     assert a["val_f1s"] == b["val_f1s"]
+
+
+def test_compiled_val_matches_host_loop(trainer):
+    """The one-dispatch eval_epoch scan must reproduce the per-scan host
+    loop (same flip keys, same bs=1 statistics)."""
+    fast = trainer.val(epoch=7)  # compiled (default for bs=1)
+    slow = trainer.val(epoch=7, compiled=False)
+    assert abs(fast["val_f1s"] - slow["val_f1s"]) < 1e-5
+    assert abs(fast["val_iou"] - slow["val_iou"]) < 1e-5
+    np.testing.assert_allclose(fast["scores"], slow["scores"], atol=1e-3)
+
+
+def test_scan_epoch_logs_all_loss_terms(trainer):
+    """The fast (epoch-scan) path must surface every active loss term
+    (reference shows per-loss postfix, task1/kite/loop_seg.py:133)."""
+    logs = trainer.train_epoch(epoch=2)
+    for k in ("total", "los", "udh", "reg", "epl", "los_epoch"):
+        assert k in logs and np.isfinite(logs[k]), k
