@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stochastic_val", type=str2bool, default=True,
                    help="reproduce the reference's random val-time flips (octgen.py:21-25)")
     p.add_argument("--import_pt", type=str, default="", help="torch .pt checkpoint to import before training")
+    p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "f32"],
+                   help="training compute dtype (bf16 = mixed precision: bf16 "
+                        "compute copies, f32 masters + f32 BN statistics — the "
+                        "TPU-first default; f32 for parity experiments)")
     p.add_argument("--packed_cnn", type=str2bool, default=None,
                    help="space-to-depth conv lowering in training (exact, ~1.3x). "
                         "Default: auto — ON for FTC models with a CNN branch and crop %% 32 == 0 "
@@ -88,6 +92,8 @@ def main(argv=None):
         from tcct_tpu.parallel import init_distributed
 
         init_distributed()
+
+    import jax.numpy as jnp
 
     from tcct_tpu.data import EyeSet
     from tcct_tpu.models import RegNet, get_model
@@ -140,6 +146,7 @@ def main(argv=None):
         crop_hw=(args.crop, args.crop),
         n_class=nc,
         packed_cnn=args.packed_cnn,
+        dtype={"bf16": jnp.bfloat16, "f32": jnp.float32}[args.dtype],
     )
     trainer = Trainer(
         net,

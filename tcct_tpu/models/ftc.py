@@ -61,6 +61,37 @@ class MPUpBlock(nn.Module):
         return conv2d(self.out_ch, 1, 1, 0, name="post_0")(x1)
 
 
+import contextlib
+
+_PINNED_GATE = False
+
+
+@contextlib.contextmanager
+def pinned_gate(enable: bool = True):
+    """Trace-time switch: GateFusion draws its alpha map from the
+    deterministic ``pinned_alpha_nchw`` hash instead of the PRNG — the
+    cross-framework noise hook for gated-fusion train parity (the torch
+    golden generator patches ``torch.rand`` with the same pattern,
+    tools/make_golden.py::golden_train_parity_gtc)."""
+    global _PINNED_GATE
+    prev = _PINNED_GATE
+    _PINNED_GATE = bool(enable)
+    try:
+        yield
+    finally:
+        _PINNED_GATE = prev
+
+
+def pinned_alpha_nchw(B: int, C: int, h: int, w: int):
+    """Deterministic well-spread [0,1) alpha pattern, NCHW index order
+    (the reference's ``torch.rand(B,C,h,w)`` layout, tcct.py:925) — both
+    frameworks build the identical tensor from this."""
+    import numpy as np
+
+    i = np.arange(B * C * h * w, dtype=np.float64).reshape(B, C, h, w)
+    return ((np.sin(i * 12.9898) * 43758.5453) % 1.0).astype(np.float32)
+
+
 def gate_fusion(x1, x2, rng=None, train: bool = False):
     """Stochastic alpha-map gating (reference tcct.py:916-932).
 
@@ -68,9 +99,13 @@ def gate_fusion(x1, x2, rng=None, train: bool = False):
     reference samples it on CPU per forward — here it is an explicit
     PRNG-key op inside the jitted step.  Eval: alpha = 0.5.
     """
-    if train and rng is not None:
+    if train and (rng is not None or _PINNED_GATE):
         B, H, W, C = x1.shape
-        alpha = jax.random.uniform(rng, (B, max(3, H // 32), max(3, W // 32), C))
+        h, w = max(3, H // 32), max(3, W // 32)
+        if _PINNED_GATE:
+            alpha = jnp.asarray(pinned_alpha_nchw(B, C, h, w)).transpose(0, 2, 3, 1)
+        else:
+            alpha = jax.random.uniform(rng, (B, h, w, C))
         alpha = resize_bicubic(alpha, (H, W), align_corners=False)
         alpha = jnp.clip(alpha, 0.0, 1.0)
     else:
@@ -160,10 +195,10 @@ class FTC(nn.Module):
 
     def __call__(self, x, train: bool = False, cnn_feats=None):
         gate = gate_fusion if self.flag_gate else simple_fusion
-        rngs = [
-            self.make_rng("gate") if (self.flag_gate and train) else None
-            for _ in range(4)
-        ]
+        # the 'gate' rng may be deliberately absent (pinned_gate() parity
+        # mode draws the alpha pattern from a deterministic hash instead)
+        need_rng = self.flag_gate and train and self.has_rng("gate")
+        rngs = [self.make_rng("gate") if need_rng else None for _ in range(4)]
 
         # cnn_feats: externally computed CNN pyramid (e.g. the fused
         # Pallas CrossResNet, ops/pallas/crosscnn_fused.py) — lets the

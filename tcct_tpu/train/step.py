@@ -60,6 +60,11 @@ class TrainConfig:
     #                                 its deterministic variant (uniforms =
     #                                 0.5) for cross-framework train-parity
     #                                 experiments
+    pinned_gate_noise: bool = False  # draw GateFusion's alpha map from the
+    #                                  deterministic cross-framework hash
+    #                                  (models/ftc.py::pinned_alpha_nchw)
+    #                                  instead of the PRNG — gated-fusion
+    #                                  train-parity experiments
 
 
 def _constrain_data(mesh, *arrays):
@@ -138,6 +143,7 @@ def build_loss_fn(model, cfg: TrainConfig) -> Callable:
 
         if cfg.remat:
             fwd = jax.checkpoint(fwd)
+        from tcct_tpu.models.ftc import pinned_gate
         from tcct_tpu.models.layers import packed_convs
         from tcct_tpu.ops.resize import resize_impl
 
@@ -145,7 +151,9 @@ def build_loss_fn(model, cfg: TrainConfig) -> Callable:
         # much faster than the matmul form (see ops/resize.py); with
         # packed_cnn the small-channel decoder/aux convs also lower to the
         # exact space-to-depth form (models/layers.py::MaybePackedConv)
-        with resize_impl("gather"), packed_convs(cfg.packed_cnn):
+        with resize_impl("gather"), packed_convs(cfg.packed_cnn), pinned_gate(
+            cfg.pinned_gate_noise
+        ):
             (pyr, feats, aux), updates = fwd(variables, img, true_oh)
         pyr = [to_f32(p) for p in pyr]
         aux = to_f32(aux)

@@ -27,15 +27,22 @@ from tcct_tpu.train.step import build_loss_fn
 N_CHECK = 50
 
 
-@pytest.fixture(scope="module")
-def parity(golden):
-    return golden("train_parity")
+@pytest.fixture(scope="module", params=["train_parity", "train_parity_gtc"])
+def parity(request, golden):
+    """Both model generations: stc_tt (simple fusion, ds+udh+reg) and
+    gtc_tt (GateFusion with the pinned cross-framework alpha hash,
+    ds+udh+reg+epl) — VERDICT r2 item 3."""
+    return request.param, golden(request.param)
 
 
-def _setup(g):
+def _setup(fixture):
+    name, g = fixture
+    gated = name.endswith("_gtc")
     sd0 = {k[len("sd0::"):]: g[k] for k in g.files if k.startswith("sd0::")}
     net = RegNet(
-        base=get_model("stc_tt", 5, variant="train", drop_path_rate=0.0),
+        base=get_model(
+            "gtc_tt" if gated else "stc_tt", 5, variant="train", drop_path_rate=0.0
+        ),
         out_channels=5,
     )
     cfg = TrainConfig(
@@ -47,8 +54,11 @@ def _setup(g):
         coff_udh=1.0,
         reg=True,
         coff_reg=0.1,
+        epl=gated,
+        coff_epl=0.1,
         augment=False,
         pinned_reg_noise=True,
+        pinned_gate_noise=gated,
     )
     opt = make_optimizer(steps_per_epoch=1, lr=1e-4, weight_decay=2e-4)
     state = create_train_state(
@@ -76,8 +86,8 @@ def _setup(g):
 def test_gradient_parity_step0(parity):
     """Direct backward-path validation: raw step-0 gradients of the full
     training loss must match torch's per tensor."""
-    g = parity
-    net, cfg, opt, state, sd0, imgs, labs = _setup(g)
+    _, g = parity
+    net, cfg, opt, state, sd0, imgs, labs = _setup(parity)
     loss_fn = build_loss_fn(net, cfg)
     img = imgs.astype(jnp.float32) / 255.0
     true_oh = jax.nn.one_hot(labs.astype(jnp.int32), 5, dtype=jnp.float32)
@@ -116,8 +126,8 @@ def test_gradient_parity_step0(parity):
 
 
 def test_training_parity_50_steps(parity):
-    g = parity
-    net, cfg, opt, state, sd0, imgs, labs = _setup(g)
+    _, g = parity
+    net, cfg, opt, state, sd0, imgs, labs = _setup(parity)
     step = build_train_step(net, opt, cfg)
 
     losses = []

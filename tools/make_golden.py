@@ -228,23 +228,42 @@ def golden_regular_losses():
     print("wrote regnet_losses.npz  los_reg=%.6f los_udh=%.6f" % (los_reg.item(), los_udh.item()))
 
 
-def golden_train_parity(n_steps=50):
-    """Training-parity experiment fixture (VERDICT r1 item 4): N optimizer
-    steps of the FULL training loss (DS dice + polarization + boundary
-    regression) on the train-generation model in torch-CPU, with every
-    stochastic piece removed or pinned:
+def _pinned_alpha_nchw(B, C, h, w):
+    """Deterministic [0,1) alpha pattern — MUST equal
+    tcct_tpu/models/ftc.py::pinned_alpha_nchw (the cross-framework
+    GateFusion noise hook)."""
+    i = np.arange(B * C * h * w, dtype=np.float64).reshape(B, C, h, w)
+    return ((np.sin(i * 12.9898) * 43758.5453) % 1.0).astype(np.float32)
+
+
+def golden_train_parity(n_steps=50, gate=False, epl=False, name="train_parity"):
+    """Training-parity experiment fixture (VERDICT r1 item 4 / r2 item 3):
+    N optimizer steps of the FULL training loss (DS dice + polarization +
+    boundary regression, optionally + edge-pixel) on the train-generation
+    model in torch-CPU, with every stochastic piece removed or pinned:
 
     - fixed uint8 input batch (exactly representable both sides),
     - drop_path_rate=0 (torch DropPath noise is unpinnable cross-framework),
     - torch.rand_like pinned to 0.5 inside regular_reg (the jax side uses
       losses/boundary.py's rng=None deterministic variant),
+    - with ``gate`` (the gtc_* generation): torch.rand patched with the
+      deterministic ``_pinned_alpha_nchw`` hash, matching the jax side's
+      ``pinned_gate()`` context (models/ftc.py) — GateFusion's alpha map
+      (tcct.py:916-932) becomes identical cross-framework,
+    - with ``epl``: the reference's --epl path calls a method that does
+      not exist (loop_seg.py:166-169 -> AttributeError, SURVEY §2.3.3);
+      the golden computes the documented-intent loss through the
+      reference's OWN ``lap_epl`` head (reg.py:58-63) with the same math
+      as tcct_tpu/models/regnet.py::regular_epl,
     - AdamW(1e-4, wd 2e-4) + grad-clip 12, constant LR.
 
     Saves the INITIAL state dict (imported by the jax side), the per-step
     total losses, and final-parameter checks.  Mirrors the reference hot
     loop composition: grad_calc DS sum (loopback.py:62-73) + coff_udh*udh +
-    coff_reg*reg (loop_seg.py:146-171).
+    coff_reg*reg (+ coff_epl*epl) (loop_seg.py:146-171).
     """
+    import torch.nn.functional as F
+
     stub_timm()
     tcct = load_module("ref_tcct_train", f"{REF}/nets/tcct.py")
     regmod = _load_ref_pkg()["reg"]
@@ -255,7 +274,7 @@ def golden_train_parity(n_steps=50):
         base_vit=tcct.mpvit_tiny(drop_path_rate=0.0),
         base_cnn=tcct.CrossResNet(flag_tiny=True),
         out_channels=5,
-        flag_gate=False,
+        flag_gate=gate,
     )
     net = regmod.RegNet(base, out_channels=5, con="cos")
     net.train()
@@ -266,15 +285,29 @@ def golden_train_parity(n_steps=50):
     x = x_u8.float() / 255.0
     true = torch.nn.functional.one_hot(labels, 5).permute(0, 3, 1, 2).float()
 
+    def regular_epl(pred, true):
+        # documented-intent edge-pixel loss (see docstring): matches
+        # tcct_tpu/models/regnet.py::regular_epl in NCHW
+        prob = torch.softmax(pred, dim=1)
+        edge_pred = net.lap_epl(prob)
+        t = true[:, 1:]
+        d = (t[:, :, 1:] - t[:, :, :-1]).abs()
+        d = F.pad(d, (0, 0, 1, 0))  # H-axis top pad
+        edge_true = d.sum(dim=1, keepdim=True).clamp(0, 1)
+        return ((edge_pred - edge_true) ** 2).mean()
+
     sd0 = {k: v.detach().clone().numpy() for k, v in net.state_dict().items()}
     crit = lossmod.MultiLoss(lossmod.DiceLoss(bi=False))
     opt = torch.optim.AdamW(net.parameters(), lr=1e-4, weight_decay=2e-4)
 
     real_rand_like = torch.rand_like
-    coff_ds, coff_udh, coff_reg = 0.5, 1.0, 0.1
+    real_rand = torch.rand
+    coff_ds, coff_udh, coff_reg, coff_epl = 0.5, 1.0, 0.1, 0.1
     losses = []
     grads0 = {}
     torch.rand_like = lambda t, **kw: torch.full_like(t, 0.5)
+    if gate:
+        torch.rand = lambda *s, **kw: torch.from_numpy(_pinned_alpha_nchw(*s))
     try:
         for step in range(n_steps):
             outs = net(x)
@@ -284,6 +317,8 @@ def golden_train_parity(n_steps=50):
             los = los + crit(outs[0], true)
             los = los + net.regular_udh(outs[0], true) * coff_udh
             los = los + net.regular_reg(outs[0], true) * coff_reg
+            if epl:
+                los = los + regular_epl(outs[0], true) * coff_epl
             opt.zero_grad()
             los.backward()
             if step == 0:
@@ -299,6 +334,7 @@ def golden_train_parity(n_steps=50):
             losses.append(los.item())
     finally:
         torch.rand_like = real_rand_like
+        torch.rand = real_rand
 
     sdN = {k: v.detach().numpy() for k, v in net.state_dict().items()}
     param_l2 = np.sqrt(
@@ -309,7 +345,7 @@ def golden_train_parity(n_steps=50):
         )
     )
     save(
-        "train_parity",
+        name,
         x_u8=x_u8.numpy(),
         labels=labels.numpy().astype(np.uint8),
         losses=np.asarray(losses, np.float64),
@@ -322,6 +358,12 @@ def golden_train_parity(n_steps=50):
             if "running" not in k and "tracked" not in k
         },
     )
+
+
+def golden_train_parity_gtc(n_steps=50):
+    """gtc_tt (GateFusion) generation with ds+udh+reg+epl — VERDICT r2
+    item 3."""
+    golden_train_parity(n_steps, gate=True, epl=True, name="train_parity_gtc")
 
 
 def golden_ops():
@@ -365,12 +407,19 @@ def golden_schedule():
     save("schedule", lrs=np.array(lrs, np.float64))
 
 
+ALL = {
+    "schedule": golden_schedule,
+    "ops": golden_ops,
+    "losses": golden_losses,
+    "binpool": golden_binpool,
+    "regular_losses": golden_regular_losses,
+    "train_parity": golden_train_parity,
+    "train_parity_gtc": golden_train_parity_gtc,
+    "checkpoint_forward": golden_checkpoint_forward,
+}
+
 if __name__ == "__main__":
-    golden_schedule()
-    golden_ops()
-    golden_losses()
-    golden_binpool()
-    golden_regular_losses()
-    golden_train_parity()
-    golden_checkpoint_forward()
+    names = sys.argv[1:] or list(ALL)
+    for n in names:
+        ALL[n]()
     print("done")
