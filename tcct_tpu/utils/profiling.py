@@ -41,6 +41,41 @@ def cost_analysis(fn, *args, **kwargs) -> Dict[str, float]:
     }
 
 
+def measured_traffic(trace_dir: str) -> Dict[str, float]:
+    """Parse a jax.profiler trace (xplane.pb) into MEASURED totals:
+    device self time, HBM bytes (per-op measured HBM bandwidth x self
+    time — what the chip actually moved, unlike the HLO cost-analysis
+    'bytes accessed' which overcounts fusion reuse), and per-category
+    self times.  Used by bench.py to report an honest roofline."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    _os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    from xprof.convert import raw_to_tool_data as rtd
+
+    paths = sorted(
+        _glob.glob(_os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
+    )
+    if not paths:
+        raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
+    data, _ = rtd.xspace_to_tool_data([paths[-1]], "hlo_stats", {})
+    j = _json.loads(data if isinstance(data, str) else data.decode())
+    cols = [c["label"] for c in j["cols"]]
+    I = {c: i for i, c in enumerate(cols)}
+    total_t = hbm_bytes = 0.0
+    cats: Dict[str, float] = {}
+    for row in j["rows"]:
+        r = [c.get("v") for c in row["c"]]
+        t = (r[I["Total self time (us)"]] or 0.0) * 1e-6
+        hbw = (r[I["HBM BW (GiB/s)"]] or 0.0) * (1 << 30)
+        total_t += t
+        hbm_bytes += hbw * t
+        cat = r[I["HLO op category"]]
+        cats[cat] = cats.get(cat, 0.0) + t
+    return {"self_time_s": total_t, "hbm_bytes": hbm_bytes, "categories": cats}
+
+
 @contextlib.contextmanager
 def debug_nans(enable: bool = True):
     prev = jax.config.jax_debug_nans
