@@ -90,10 +90,10 @@ def random_brightness(img, key, limit: float = 0.2):
 # geometric ops
 # ---------------------------------------------------------------------------
 
-def crop_non_empty(img, lab, key, crop_hw: Tuple[int, int]):
-    """CropNonEmptyMaskIfExists: random crop window guaranteed to contain a
-    (uniformly sampled) nonzero mask pixel (albumentations semantics,
-    reference octgen.py:12).  Static output shape — jit friendly."""
+def _crop_offsets(lab, key, crop_hw: Tuple[int, int]):
+    """CropNonEmptyMaskIfExists window origin: random crop guaranteed to
+    contain a (uniformly sampled) nonzero mask pixel (albumentations
+    semantics, reference octgen.py:12)."""
     H, W = lab.shape
     ch, cw = crop_hw
     kpix, ky, kx, kfall = jax.random.split(key, 4)
@@ -111,8 +111,32 @@ def crop_non_empty(img, lab, key, crop_hw: Tuple[int, int]):
     x0 = jnp.clip(px - x_off, 0, max(W - cw, 0))
     y0 = jnp.where(has_fg, y0, jnp.clip(ry[0], 0, max(H - ch, 0)))
     x0 = jnp.where(has_fg, x0, jnp.clip(ry[1], 0, max(W - cw, 0)))
+    return y0, x0
+
+
+def crop_non_empty(img, lab, key, crop_hw: Tuple[int, int]):
+    """Static-output-shape CropNonEmptyMaskIfExists — jit friendly."""
+    ch, cw = crop_hw
+    y0, x0 = _crop_offsets(lab, key, crop_hw)
     img_c = jax.lax.dynamic_slice(img, (y0, x0, 0), (ch, cw, img.shape[-1]))
     lab_c = jax.lax.dynamic_slice(lab, (y0, x0), (ch, cw))
+    return img_c, lab_c
+
+
+def crop_non_empty_folded_u8(img_u8, lab_u8, key, crop_hw: Tuple[int, int]):
+    """The crop on the uint8 source with channels FOLDED into the width
+    axis: the dynamic slices then move full-lane-width uint8 rows instead
+    of 3-channel-minor pixels, and only the 256^2 crop gets converted to
+    f32 — not the whole source scan.  (The earlier 'u8-first is 2.3 ms
+    slower' measurement was WITHOUT folding: an 8-bit dynamic slice with
+    a 3-wide minor dim is the worst possible lane layout.)  Byte-exact
+    with crop_non_empty on the converted image, same PRNG consumption."""
+    ch, cw = crop_hw
+    H, W, C = img_u8.shape
+    y0, x0 = _crop_offsets(lab_u8, key, crop_hw)
+    imgf = img_u8.reshape(H, W * C)
+    img_c = jax.lax.dynamic_slice(imgf, (y0, x0 * C), (ch, cw * C)).reshape(ch, cw, C)
+    lab_c = jax.lax.dynamic_slice(lab_u8, (y0, x0), (ch, cw))
     return img_c, lab_c
 
 
@@ -133,12 +157,9 @@ def random_flips(img, lab, key, p_h: float = 0.5, p_v: float = 0.5):
 
 def _train_one(img_u8, lab_u8, key, crop_hw):
     k_crop, k_flip, k_rgb, k_hsv, k_con, k_bri = jax.random.split(key, 6)
-    # note: convert BEFORE the crop — cropping the uint8 first looks like a
-    # 4x traffic saving but measured 2.3 ms/step SLOWER on v5e (8-bit
-    # dynamic-slice lane handling)
-    img = img_u8.astype(jnp.float32) / 255.0
-    lab = lab_u8.astype(jnp.int32)
-    img, lab = crop_non_empty(img, lab, k_crop, crop_hw)
+    img_c, lab_c = crop_non_empty_folded_u8(img_u8, lab_u8, k_crop, crop_hw)
+    img = img_c.astype(jnp.float32) / 255.0
+    lab = lab_c.astype(jnp.int32)
     img, lab = random_flips(img, lab, k_flip)
     img = rgb_shift(img, k_rgb)
     img = hue_saturation_value(img, k_hsv)

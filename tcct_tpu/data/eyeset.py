@@ -84,7 +84,7 @@ def synthesize_oct(
         base = np.sort(rng.uniform(0.2 * H, 0.8 * H, size=(nc - 1,)))
         freq = rng.uniform(0.5, 2.0, size=(nc - 1, 1))
         phase = rng.uniform(0, 2 * np.pi, size=(nc - 1, 1))
-        amp = rng.uniform(2, H * 0.03, size=(nc - 1, 1))
+        amp = rng.uniform(2, max(H * 0.03, 2.1), size=(nc - 1, 1))
         xs = np.linspace(0, 2 * np.pi, W)[None, :]
         bounds = base[:, None] + amp * np.sin(freq * xs + phase)
         bounds = np.sort(bounds, axis=0)  # keep layers ordered
@@ -183,7 +183,15 @@ class EyeSet:
                 splits.setdefault("val", splits["train"])
                 splits.setdefault("test", splits["val"])
                 return cls(dbname, geo, splits, paths, pairs=pairs)
-        # synthetic fallback
+        # synthetic fallback.  TCCT_SYNTH_N / TCCT_SYNTH_HW ("96x128")
+        # shrink the generated set — the test suite uses these to keep
+        # engine/CLI smoke tests off the full 608x512 geometry on the
+        # 1-core CI host (geometry-correct shapes are covered separately).
+        synthetic_n = int(os.environ.get("TCCT_SYNTH_N", synthetic_n))
+        hw_env = os.environ.get("TCCT_SYNTH_HW", "")
+        if hw_env:
+            h, w = (int(v) for v in hw_env.lower().split("x"))
+            geo = dataclasses.replace(geo, prep_hw=(h, w))
         tr = synthesize_oct(geo, synthetic_n, seed=synthetic_seed)
         va = synthesize_oct(geo, max(synthetic_n // 3, 2), seed=synthetic_seed + 1)
         te = synthesize_oct(geo, max(synthetic_n // 3, 2), seed=synthetic_seed + 2)

@@ -240,12 +240,20 @@ def miou_scorem(pr, gt, start_idx: int = 0):
 # Deep supervision (reference loopback.py:62-73)
 # ---------------------------------------------------------------------------
 
-def deep_supervision_loss(outs, true, criterion, ds: bool = True, coff_ds: float = 0.5):
-    """Weighted pyramid loss: full weight on outs[0], coff_ds on the rest."""
+def deep_supervision_loss(
+    outs, true, criterion, ds: bool = True, coff_ds: float = 0.5, true0=None
+):
+    """Weighted pyramid loss: full weight on outs[0], coff_ds on the rest.
+
+    ``true0``: target for the MAIN head only — used when outs[0] lives in
+    a different (but sum-equivalent) layout, e.g. the packed
+    space-to-depth head grouped as [B,h,w,4,C] against phase-grouped
+    one-hot labels (dice sums are pixel-permutation-invariant, so the
+    loss value is the fine-layout value reassociated)."""
     if not isinstance(outs, (list, tuple)):
         return criterion(outs, true)
     total = 0.0
     if ds:
         for i in range(len(outs) - 1, 0, -1):
             total = total + criterion(outs[i], true) * coff_ds
-    return total + criterion(outs[0], true)
+    return total + criterion(outs[0], true if true0 is None else true0)

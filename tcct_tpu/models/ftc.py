@@ -200,16 +200,48 @@ class FTC(nn.Module):
         need_rng = self.flag_gate and train and self.has_rng("gate")
         rngs = [self.make_rng("gate") if need_rng else None for _ in range(4)]
 
-        # cnn_feats: externally computed CNN pyramid (e.g. the fused
-        # Pallas CrossResNet, ops/pallas/crosscnn_fused.py) — lets the
-        # serving path swap the branch without touching the param tree.
+        # cnn_feats: externally computed CNN pyramid (e.g. the packed
+        # space-to-depth path, ops/packed_conv.py) — lets the serving/
+        # training paths swap the branch without touching the param tree.
+        # Entries may be (fine, packed) pairs: the packed form feeds the
+        # packed fusion/decoder without an unpack->repack round trip.
         cs = cnn_feats if cnn_feats is not None else self.base_cnn(x, train)
-        c1, c2, c3, c4, c5 = cs
+        split = lambda c: c if isinstance(c, tuple) else (c, None)
+        (c1, c1pk), (c2, c2pk), (c3, _), (c4, _), (c5, _) = [split(c) for c in cs]
         if self.flag_vit and self.flag_cnn:
+            from tcct_tpu.models.layers import packed_io, packing_active
+            from tcct_tpu.ops.packed_conv import pack_nhwc, unpack_nhwc
+
             vs = self.base_vit.forward_features(x, train)
             x2v, x3v, x4v, x5v = vs
             x1 = c1
-            x2 = gate(self._tran("tran_vit", 0, x2v, train), self._tran("tran_cnn", 0, c2, train), rngs[0], train)
+            if (
+                packing_active()
+                and not self.flag_gate
+                and x2v.shape[1] % 2 == 0
+                and x2v.shape[2] % 2 == 0
+                and c2.shape[1:3] == x2v.shape[1:3]
+            ):
+                # level-0 fusion (the big 128^2 grid) entirely on the
+                # packed layout: one pack of the ViT feature (the CNN skip
+                # arrives packed), phase-grouped BN statistics (exact),
+                # one unpack of the fused map — instead of a pack/unpack
+                # round trip inside every MaybePackedConv tran conv.
+                a = pack_nhwc(x2v)
+                with packed_io():
+                    a = getattr(self, "tran_vit0_0")(a)
+                a = getattr(self, "tran_vit0_1")(
+                    a, use_running_average=not train, packed=True
+                )
+                b = c2pk if c2pk is not None else pack_nhwc(c2)
+                with packed_io():
+                    b = getattr(self, "tran_cnn0_0")(b)
+                b = getattr(self, "tran_cnn0_1")(
+                    b, use_running_average=not train, packed=True
+                )
+                x2 = unpack_nhwc(a + b)
+            else:
+                x2 = gate(self._tran("tran_vit", 0, x2v, train), self._tran("tran_cnn", 0, c2, train), rngs[0], train)
             x3 = gate(self._tran("tran_vit", 1, x3v, train), self._tran("tran_cnn", 1, c3, train), rngs[1], train)
             x4 = gate(self._tran("tran_vit", 2, x4v, train), self._tran("tran_cnn", 2, c4, train), rngs[2], train)
             x5 = gate(self._tran("tran_vit", 3, x5v, train), self._tran("tran_cnn", 3, c5, train), rngs[3], train)
@@ -257,12 +289,13 @@ class FTC(nn.Module):
                 and x1.shape[2] % 2 == 0
             ):
                 # full-resolution tail on the packed layout end-to-end:
-                # one pack of the skip, zero intermediate round trips
-                # (the fine 32-channel layout uses 1/4 of the VPU/MXU
-                # lanes and dominates the train step's HBM time)
+                # the skip arrives packed from the CNN branch (or is
+                # packed once here), zero intermediate round trips (the
+                # fine 32-channel layout uses 1/4 of the VPU/MXU lanes
+                # and dominates the train step's HBM time)
                 from tcct_tpu.ops.packed_conv import pack_nhwc, unpack_nhwc
 
-                x1pk = pack_nhwc(x1)
+                x1pk = c1pk if c1pk is not None else pack_nhwc(x1)
                 y0pk = self.dec4(y1, None, train, packed_skip=x1pk)
                 with packed_io():
                     y0pk = self.t324(x1pk + y0pk)
@@ -278,9 +311,15 @@ class FTC(nn.Module):
             y4p = self.t321(x4 + y4)
             feats = [norm_add([y0, y1p, y2p])]
             if out0_packed is not None:
+                from tcct_tpu.models.layers import packed_heads_active
                 from tcct_tpu.ops.packed_conv import unpack_nhwc
 
-                out0 = unpack_nhwc(out0_packed)
+                if packed_heads_active():
+                    # the packed-aware DS loss owns the layout; the fine
+                    # unpack (and its backward re-pack) never materializes
+                    out0 = out0_packed
+                else:
+                    out0 = unpack_nhwc(out0_packed)
             else:
                 out0 = self.aux0(y0)
             out1 = resize_bilinear(self.aux1(y1p), size, align_corners=False)

@@ -50,7 +50,9 @@ trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
 
 _PACK_CONVS = False
 _PACK_IO = False
-_PACK_MAX_CIN = 64
+_PACK_MAX_CIN = 32  # 64-ch convs already run at 50% lane width; measured
+#                     on v5e the per-conv pack/unpack round trip costs
+#                     more than the 2x lane win (ViT stage-0 cpe/proj)
 _PACK_MIN_PIXELS = 64 * 64
 
 import contextlib
@@ -70,6 +72,29 @@ def packed_convs(enable: bool = True):
 
 def packing_active() -> bool:
     return _PACK_CONVS
+
+
+_PACKED_HEADS = False
+
+
+@contextlib.contextmanager
+def packed_heads(enable: bool = True):
+    """Trace-time switch: the FTC packed tail returns its MAIN head still
+    in the packed space-to-depth layout ([B,h,w,4*nc]) instead of
+    unpacking — the packed-aware DS loss (train/step.py) consumes it via
+    a phase-grouped reshape (dice is pixel-permutation-invariant, so the
+    value is exact up to reassociation)."""
+    global _PACKED_HEADS
+    prev = _PACKED_HEADS
+    _PACKED_HEADS = bool(enable)
+    try:
+        yield
+    finally:
+        _PACKED_HEADS = prev
+
+
+def packed_heads_active() -> bool:
+    return _PACKED_HEADS
 
 
 @contextlib.contextmanager
@@ -214,9 +239,13 @@ class BatchNorm(nn.Module):
     scale_init: Any = nn.initializers.ones
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool):
-        C = x.shape[-1]
-        axes = tuple(range(x.ndim - 1))
+    def __call__(self, x, use_running_average: bool, packed: bool = False):
+        """``packed=True``: x is a space-to-depth tensor [B,h,w,4C] whose
+        channel blocks are the four fine phases (ops/packed_conv.py) —
+        statistics reduce over (B, h, w, phase), the exact fine-pixel
+        element set, and the (C,) affine/stats are phase-tiled.  Param and
+        batch_stats shapes are identical to the fine layout."""
+        C = x.shape[-1] // 4 if packed else x.shape[-1]
         scale = self.param("scale", self.scale_init, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         ra_mean = self.variable(
@@ -225,10 +254,12 @@ class BatchNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32)
         )
+        xs = x.reshape(x.shape[:-1] + (4, C)) if packed else x
+        axes = tuple(range(xs.ndim - 1))
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            xf = x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+            xf = xs.astype(jnp.float32) if xs.dtype != jnp.float32 else xs
             mean = jnp.mean(xf, axis=axes)
             var = jnp.mean(xf * xf, axis=axes) - mean * mean
             if not self.is_initializing():
@@ -243,6 +274,8 @@ class BatchNorm(nn.Module):
             jnp.float32
         )
         dt = x.dtype
+        if packed:
+            mean, inv, bias = (jnp.tile(v, 4) for v in (mean, inv, bias))
         return (x - mean.astype(dt)) * inv.astype(dt) + bias.astype(dt)
 
 

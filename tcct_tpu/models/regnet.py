@@ -118,13 +118,23 @@ class RegNet(nn.Module):
         space-to-depth path) injected into an FTC base."""
         kw = {"cnn_feats": cnn_feats} if cnn_feats is not None else {}
         pyr, feats = self.base(x, train=train, **kw)
+        # under packed_heads() the main head arrives in the packed
+        # space-to-depth layout; the spatial aux losses need the fine
+        # form (XLA DCEs this unpack when none of them is enabled)
+        p0 = pyr[0]
+        from tcct_tpu.models.layers import packed_heads_active
+
+        if packed_heads_active() and p0.shape[-1] == 4 * self.out_channels:
+            from tcct_tpu.ops.packed_conv import unpack_nhwc
+
+            p0 = unpack_nhwc(p0)
         aux = {}
         if use_udh:
-            aux["udh"] = self.regular_udh(feats, pyr[0], true)
+            aux["udh"] = self.regular_udh(feats, p0, true)
         if use_reg:
-            aux["reg"] = self.regular_reg(pyr[0], true, rng=rng_reg, train=train)
+            aux["reg"] = self.regular_reg(p0, true, rng=rng_reg, train=train)
         if use_epl:
-            aux["epl"] = self.regular_epl(pyr[0], true)
+            aux["epl"] = self.regular_epl(p0, true)
         return pyr, feats, aux
 
     def init_loss_heads(self, pred, true):

@@ -230,10 +230,16 @@ def _packed_block_train(xp, params: Dict, stats: Dict):
     return bn("block5_2", _lrelu(y)), new_stats
 
 
-def cross_resnet_packed_train(x, params: Dict, stats: Dict):
+def cross_resnet_packed_train(x, params: Dict, stats: Dict, return_packed: bool = False):
     """Train-mode CrossResNet on the packed layout (all 5 levels).
     Returns (5 unpacked pre-pool feature maps, updated batch_stats
-    subtree).  Differentiable; grads flow to ``params`` as usual."""
+    subtree).  Differentiable; grads flow to ``params`` as usual.
+
+    ``return_packed``: additionally return the still-packed skips (one per
+    level, same tensors pre-unpack) so a packed-aware consumer (the FTC
+    fusion/decoder tail, models/ftc.py) can take them without the
+    unpack->repack round trip; XLA dead-code-eliminates whichever form
+    goes unused."""
     dt = x.dtype
     new_stats: Dict = {}
     xp = pack_nhwc(x)
@@ -241,6 +247,7 @@ def cross_resnet_packed_train(x, params: Dict, stats: Dict):
     y, new_stats["cnn_1"] = _bn_train_packed(y, params["cnn_1"], stats["cnn_1"])
     y = y.astype(dt)
     xs: List[jnp.ndarray] = []
+    xs_pk: List[jnp.ndarray] = []
     for level in range(5):
         y, ns = _packed_block_train(
             y, params[f"path_estan_{level}"], stats[f"path_estan_{level}"]
@@ -248,6 +255,7 @@ def cross_resnet_packed_train(x, params: Dict, stats: Dict):
         y = y.astype(dt)
         new_stats[f"path_estan_{level}"] = ns
         xs.append(unpack_nhwc(y))
+        xs_pk.append(y)
         pooled = packed_maxpool2(y)
         if level < 4:
             if pooled.shape[1] % 2 == 0 and pooled.shape[2] % 2 == 0:
@@ -257,6 +265,8 @@ def cross_resnet_packed_train(x, params: Dict, stats: Dict):
                     f"packed training needs even dims at every level; got "
                     f"{pooled.shape} at level {level}"
                 )
+    if return_packed:
+        return xs, new_stats, xs_pk
     return xs, new_stats
 
 

@@ -112,19 +112,24 @@ def _tridiag_ones(n: int) -> np.ndarray:
 def metapool_tokens(x):
     """MetaPool on [B, N, C] tokens, TPU-lowered: the 3x3 (token, channel)
     window sum factorizes into shift-adds along N (cheap sublane slices)
-    and a tridiagonal ones-matrix contraction along C (rides the MXU),
-    then the static count_include_pad=False count map divides it.  Same
-    math as :func:`metapool_tokens_reference` (reassociated; ~1e-6) —
-    reduce_window was 1.5 ms/step of the v5e train step."""
+    and a tridiagonal ones-matrix contraction along C (rides the MXU with
+    f32 accumulation), then the static count_include_pad=False count map
+    divides it.  Same math as :func:`metapool_tokens_reference`
+    (reassociated; ~1e-6 in f32) — reduce_window was 1.5 ms/step of the
+    v5e train step.
+
+    The shift-add runs in the INPUT dtype (a 3-term sum costs ~1 ulp):
+    under bf16 mixed precision this halves the mixer's HBM traffic — the
+    stage-0 [8,16384,64] tensors are ~17 MB each in bf16 vs 33 MB f32.
+    f32 inputs take the exact f32 path as before."""
     B, N, C = x.shape
-    xf = x.astype(jnp.float32)
     rows = (
-        xf
-        + jnp.pad(xf[:, 1:], ((0, 0), (0, 1), (0, 0)))
-        + jnp.pad(xf[:, :-1], ((0, 0), (1, 0), (0, 0)))
+        x
+        + jnp.pad(x[:, 1:], ((0, 0), (0, 1), (0, 0)))
+        + jnp.pad(x[:, :-1], ((0, 0), (1, 0), (0, 0)))
     )
     summed = jnp.einsum(
-        "bnc,cd->bnd", rows, jnp.asarray(_tridiag_ones(C)),
+        "bnc,cd->bnd", rows, jnp.asarray(_tridiag_ones(C), x.dtype),
         preferred_element_type=jnp.float32,
     )
     cn = _axis_counts(N, 3, 1, 1)

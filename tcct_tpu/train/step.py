@@ -113,12 +113,16 @@ def build_loss_fn(model, cfg: TrainConfig) -> Callable:
 
                 # exact space-to-depth rewrite of the CNN branch; grads
                 # flow to the same params, BN stats EMA-updated from the
-                # f32 masters
-                cnn_feats, cnn_new_stats = cross_resnet_packed_train(
+                # f32 masters.  Skips are handed to FTC as (fine, packed)
+                # pairs so the fusion/decoder consumes the packed form
+                # without round trips (XLA DCEs the unused fine unpacks).
+                fine, cnn_new_stats, packed = cross_resnet_packed_train(
                     img,
                     variables["params"]["base"]["base_cnn"],
                     batch_stats["base"]["base_cnn"],
+                    return_packed=True,
                 )
+                cnn_feats = [(f, p) for f, p in zip(fine, packed)]
             out, updates = model.apply(
                 variables,
                 img,
@@ -144,20 +148,39 @@ def build_loss_fn(model, cfg: TrainConfig) -> Callable:
         if cfg.remat:
             fwd = jax.checkpoint(fwd)
         from tcct_tpu.models.ftc import pinned_gate
-        from tcct_tpu.models.layers import packed_convs
+        from tcct_tpu.models.layers import packed_convs, packed_heads
         from tcct_tpu.ops.resize import resize_impl
 
         # trace-time lowering choices: gather-form resizes differentiate
         # much faster than the matmul form (see ops/resize.py); with
         # packed_cnn the small-channel decoder/aux convs also lower to the
         # exact space-to-depth form (models/layers.py::MaybePackedConv)
-        with resize_impl("gather"), packed_convs(cfg.packed_cnn), pinned_gate(
-            cfg.pinned_gate_noise
-        ):
+        with resize_impl("gather"), packed_convs(cfg.packed_cnn), packed_heads(
+            cfg.packed_cnn
+        ), pinned_gate(cfg.pinned_gate_noise):
             (pyr, feats, aux), updates = fwd(variables, img, true_oh)
         pyr = [to_f32(p) for p in pyr]
         aux = to_f32(aux)
-        los = deep_supervision_loss(pyr, true_oh, criterion, ds=cfg.ds, coff_ds=cfg.coff_ds)
+        true0 = None
+        p0 = pyr[0]
+        if (
+            cfg.packed_cnn
+            and p0.ndim == 4
+            and p0.shape[-1] == 4 * cfg.n_class
+            and p0.shape[1] * 2 == true_oh.shape[1]
+        ):
+            # main head arrives PACKED: group phases next to classes and
+            # build the phase-grouped one-hot — dice sums over pixels are
+            # permutation-invariant, so this is the fine loss reassociated,
+            # with no full-res unpack in the graph
+            from tcct_tpu.ops.packed_conv import pack_nhwc
+
+            B, h, w, _ = p0.shape
+            pyr = [p0.reshape(B, h, w, 4, cfg.n_class)] + pyr[1:]
+            true0 = pack_nhwc(true_oh).reshape(B, h, w, 4, cfg.n_class)
+        los = deep_supervision_loss(
+            pyr, true_oh, criterion, ds=cfg.ds, coff_ds=cfg.coff_ds, true0=true0
+        )
         metrics = {"los": los}
         if cfg.udh:
             metrics["udh"] = aux["udh"]

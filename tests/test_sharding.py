@@ -86,7 +86,7 @@ def test_pick_dp_devices():
     assert pick_dp_devices(8, 1) == 1
 
 
-def test_trainer_dp_matches_single_device(tmp_path):
+def test_trainer_dp_matches_single_device(tmp_path, monkeypatch):
     """The CLI --pl path: a Trainer built on the 8-device mesh produces the
     same loss trajectory as single-device with the same global batch
     (VERDICT r1 item 2)."""
@@ -95,6 +95,8 @@ def test_trainer_dp_matches_single_device(tmp_path):
     from tcct_tpu.parallel import make_mesh
     from tcct_tpu.train import TrainConfig, Trainer
 
+    monkeypatch.setenv("TCCT_SYNTH_N", "8")
+    monkeypatch.setenv("TCCT_SYNTH_HW", "64x96")
     dataset = EyeSet.load("goals", root="")  # synthetic fallback
     nc = dataset.out_channels
     cfg = TrainConfig(n_class=nc, crop_hw=(32, 32), ds=True)

@@ -14,7 +14,18 @@ from tcct_tpu.train import TrainConfig, Trainer
 
 @pytest.fixture(scope="module")
 def trainer(tmp_path_factory):
-    ds = EyeSet.load("goals")  # synthetic fallback
+    import os
+
+    # engine semantics don't need the full 608x512 geometry — shrink the
+    # synthetic set (full-geometry shapes are covered by tests/test_data.py)
+    env = {"TCCT_SYNTH_N": "8", "TCCT_SYNTH_HW": "96x128"}
+    saved = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        ds = EyeSet.load("goals")  # synthetic fallback
+    finally:
+        for k, v in saved.items():
+            os.environ.pop(k, None) if v is None else os.environ.update({k: v})
     assert ds.synthetic and ds.out_channels == 5
     model = RegNet(base=get_model("relay", ds.out_channels), out_channels=ds.out_channels)
     cfg = TrainConfig(
