@@ -34,7 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gpu", type=str, default="0", help="(ignored; device = jax.devices())")
     p.add_argument("--los", type=str, default="dice", help="loss function (di/dice or mse)")
     p.add_argument("--net", type=str, default="stc_tt", help="network (see registry)")
-    p.add_argument("--pth", type=str2bool, default=True)
+    p.add_argument("--pth", type=str2bool, default=True,
+                   help="parsed but unused — mirrors the reference's dead "
+                        "'download weights' flag (task1/kite/main.py:26); "
+                        "use --import_pt to load a torch checkpoint")
     p.add_argument("--bs", type=int, default=2, help="batch size")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--root", type=str, default="exp_tcct_tpu", help="experiment folder")

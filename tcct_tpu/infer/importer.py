@@ -232,6 +232,17 @@ def export_torch_state(variables, skeleton: Dict[str, np.ndarray]):
             continue
         coll, norm, _ = tr
         path = norm_index.get((coll, norm))
+        if path is None and re.search(r"MHCA_layers\.\d+\.c?r?pe\.", key):
+            # the reference SHARES cpe/crpe modules across blocks, so each
+            # tensor appears under two state-dict keys; fill the
+            # per-layer alias from the canonical (block-level) path too —
+            # leaving it as skeleton would make load_state_dict's final
+            # value depend on module-traversal order
+            alt = translate_torch_key(
+                re.sub(r"MHCA_layers\.\d+\.(?=c?r?pe\.)", "", key), skel
+            )
+            if alt is not None:
+                path = norm_index.get((alt[0], alt[1]))
         if path is None:
             out[key] = skel
             missing.append(key)

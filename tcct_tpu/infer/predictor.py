@@ -48,6 +48,8 @@ class VolumePredictor:
             # uint8 in, normalize on device: host->device traffic is 4x
             # smaller than shipping f32 (this tunnel environment is
             # transfer-bound; real hosts still save PCIe bandwidth)
+            from tcct_tpu.models.layers import packed_heads
+
             variables = cast_floating(variables, self.dtype)
             x = x_u8.astype(self.dtype or jnp.float32) / 255.0
             kw = {}
@@ -59,13 +61,28 @@ class VolumePredictor:
                 if self.cnn_impl == "packed":
                     from tcct_tpu.ops.packed_conv import cross_resnet_packed
 
-                    kw["cnn_feats"] = cross_resnet_packed(x, p["base_cnn"], s["base_cnn"])
+                    fine, pk = cross_resnet_packed(
+                        x, p["base_cnn"], s["base_cnn"], return_packed=True
+                    )
+                    # (fine, packed) pairs: the FTC tail consumes the
+                    # packed skips directly (packed dec4 + 1x1 heads)
+                    kw["cnn_feats"] = [(f, q) for f, q in zip(fine, pk)]
                 elif self.cnn_impl == "fused_pallas":
                     from tcct_tpu.ops.pallas.crosscnn_fused import cross_resnet_fused
 
                     kw["cnn_feats"] = cross_resnet_fused(x, p["base_cnn"], s["base_cnn"])
-            pyr, _ = self.model.apply(variables, x, train=False, **kw)
+            with packed_heads(self.cnn_impl == "packed"):
+                pyr, _ = self.model.apply(variables, x, train=False, **kw)
             logits = pyr[0] if isinstance(pyr, (list, tuple)) else pyr
+            nc = self.geo.out_channels
+            if logits.ndim == 4 and logits.shape[-1] == 4 * nc and logits.shape[1] * 2 == x.shape[1]:
+                # main head still in the packed layout: argmax per phase
+                # group, then spatialize the CLASS MAP (uint8) — 1/4 the
+                # unpack traffic of fine logits
+                B, h, w, _ = logits.shape
+                cls = jnp.argmax(logits.reshape(B, h, w, 2, 2, nc), axis=-1)
+                cls = cls.astype(jnp.uint8).transpose(0, 1, 3, 2, 4)
+                return cls.reshape(B, 2 * h, 2 * w)
             return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
         self._fwd = _fwd

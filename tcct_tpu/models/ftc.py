@@ -216,7 +216,7 @@ class FTC(nn.Module):
             x2v, x3v, x4v, x5v = vs
             x1 = c1
             if (
-                packing_active()
+                (packing_active() or c2pk is not None)
                 and not self.flag_gate
                 and x2v.shape[1] % 2 == 0
                 and x2v.shape[2] % 2 == 0
@@ -326,9 +326,23 @@ class FTC(nn.Module):
             out2 = resize_bilinear(self.aux2(y2p), size, align_corners=False)
             out4 = resize_bilinear(self.aux4(y4p), size, align_corners=False)
         else:
-            y0 = self.dec4(y1, c1, train)
+            from tcct_tpu.models.layers import packed_heads_active, packed_io
+            from tcct_tpu.ops.packed_conv import unpack_nhwc
+
+            if c1pk is not None and y1.shape[1:3] == c1pk.shape[1:3]:
+                # serving fast path: the skip arrives packed from
+                # cross_resnet_packed — run dec4's upsample/add/1x1 and
+                # aux0 on the packed layout (the fine full-res tail is
+                # the infer profile's HBM hotspot).  Exact reassociation.
+                y0pk = self.dec4(y1, None, train, packed_skip=c1pk)
+                with packed_io():
+                    out0pk = self.aux0(y0pk)
+                y0 = unpack_nhwc(y0pk)  # feats only — DCE'd when unused
+                out0 = out0pk if packed_heads_active() else unpack_nhwc(out0pk)
+            else:
+                y0 = self.dec4(y1, c1, train)
+                out0 = self.aux0(y0)
             feats = [norm_add([x1, x2, x3, y0, y1, y2])]
-            out0 = self.aux0(y0)
             out1 = resize_bilinear(self.aux1(y1), size, align_corners=False)
             out2 = resize_bilinear(self.aux2(y2), size, align_corners=False)
             out4 = resize_bilinear(self.aux4(y4), size, align_corners=False)

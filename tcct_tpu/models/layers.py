@@ -53,7 +53,10 @@ _PACK_IO = False
 _PACK_MAX_CIN = 32  # 64-ch convs already run at 50% lane width; measured
 #                     on v5e the per-conv pack/unpack round trip costs
 #                     more than the 2x lane win (ViT stage-0 cpe/proj)
-_PACK_MIN_PIXELS = 64 * 64
+_PACK_MIN_PIXELS = 128 * 128  # measured on v5e: packing 64^2 grids is
+#                               perf-neutral (round trip ~= lane win);
+#                               restricting to 128^2+ keeps the graph
+#                               smaller at the same speed
 
 import contextlib
 
@@ -158,7 +161,10 @@ class MaybePackedConv(nn.Conv):
     def __call__(self, x):
         from tcct_tpu.ops.packed_conv import pack_nhwc, packed_conv, unpack_nhwc
 
-        if _PACK_CONVS and _PACK_IO and x.ndim == 4:
+        # packed_io is an explicit caller-owned layout contract — it does
+        # not require the global packed_convs() heuristic switch (the
+        # serving path packs its tail without per-conv auto-packing)
+        if _PACK_IO and x.ndim == 4:
             # caller-managed packed layout: x is [B,h,w,4*C_fine].  A
             # geometry-ineligible conv must NOT silently fall through to
             # the plain path — it would consume the packed tensor with a

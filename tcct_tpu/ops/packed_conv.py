@@ -273,23 +273,30 @@ def cross_resnet_packed_train(x, params: Dict, stats: Dict, return_packed: bool 
 def ftc_forward_packed(model, variables, x, n_packed: int = 2):
     """Full FTC/RegNet forward (eval) with the CNN branch on the packed
     layout: compute the pyramid with ``cross_resnet_packed`` and inject
-    it via the model's ``cnn_feats`` hook.  Measured on v5e: the CNN
-    branch drops 7.1 -> 3.0 ms (bs=8, 256^2, bf16), exact numerics."""
+    it via the model's ``cnn_feats`` hook as (fine, packed) pairs — the
+    FTC tail then consumes the packed skips directly (packed dec4 +
+    1x1 heads via packed_io, no unpack->repack round trips).  Measured
+    on v5e: the CNN branch drops 7.1 -> 3.0 ms (bs=8, 256^2, bf16),
+    exact numerics."""
     p = variables["params"]
     s = variables["batch_stats"]
     if "base" in p:  # RegNet wrapper
         p, s = p["base"], s["base"]
-    feats = cross_resnet_packed(x, p["base_cnn"], s["base_cnn"], n_packed=n_packed)
-    return model.apply(variables, x, train=False, cnn_feats=feats)
+    feats, feats_pk = cross_resnet_packed(
+        x, p["base_cnn"], s["base_cnn"], n_packed=n_packed, return_packed=True
+    )
+    pairs = [(f, pk) for f, pk in zip(feats, feats_pk)]
+    return model.apply(variables, x, train=False, cnn_feats=pairs)
 
 
 def cross_resnet_packed(
-    x, params: Dict, stats: Dict, n_packed: int = 2
-) -> List[jnp.ndarray]:
+    x, params: Dict, stats: Dict, n_packed: int = 2, return_packed: bool = False
+):
     """CrossResNet forward (eval) with the first ``n_packed`` levels on
     the space-to-depth layout.  Numerically equivalent to the plain
     module (same convolutions, reassociated).  Returns the 5 pre-pool
-    feature maps, unpacked."""
+    feature maps, unpacked; with ``return_packed``, also the still-packed
+    per-level skips (None for levels computed on the plain path)."""
     from tcct_tpu.models.crosscnn import CrossCNNBlock
     from tcct_tpu.ops.pool import max_pool_2d
 
@@ -303,12 +310,14 @@ def cross_resnet_packed(
     if n_packed < 1:
         raise ValueError("n_packed must be >= 1")
     xs: List[jnp.ndarray] = []
+    xs_pk: List = []
     level = 0
     while True:
         y = _packed_block(
             y, params[f"path_estan_{level}"], stats[f"path_estan_{level}"]
         ).astype(dt)
         xs.append(unpack_nhwc(y))
+        xs_pk.append(y)
         pooled = packed_maxpool2(y)  # unpacked, at the packed resolution
         level += 1
         if (
@@ -337,5 +346,8 @@ def cross_resnet_packed(
             train=False,
         )
         xs.append(cur)
+        xs_pk.append(None)
         cur = max_pool_2d(cur, 2)
+    if return_packed:
+        return xs, xs_pk
     return xs

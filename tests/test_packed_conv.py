@@ -143,3 +143,29 @@ def test_packed_training_drift_100_steps():
         traj[packed] = np.asarray(jax.device_get(losses), np.float64)
     rel = np.abs(traj[True] - traj[False]) / np.abs(traj[False])
     assert rel.max() < 1e-2, (rel.argmax(), rel.max())
+
+
+def test_batchnorm_packed_matches_fine():
+    """BatchNorm(packed=True) on the space-to-depth layout must equal the
+    fine-layout module: identical stats (same element set, reassociated)
+    and identical running-average updates."""
+    from tcct_tpu.models.layers import BatchNorm
+    from tcct_tpu.ops.packed_conv import pack_nhwc, unpack_nhwc
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 5)).astype(np.float32))
+    bn = BatchNorm()
+    v = bn.init(jax.random.PRNGKey(0), x, use_running_average=False)
+    y_fine, upd_fine = bn.apply(v, x, use_running_average=False, mutable=["batch_stats"])
+    y_pk, upd_pk = bn.apply(
+        v, pack_nhwc(x), use_running_average=False, packed=True, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(unpack_nhwc(y_pk), y_fine, rtol=2e-5, atol=2e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            upd_pk["batch_stats"][k], upd_fine["batch_stats"][k], rtol=2e-5
+        )
+    # eval mode too (running stats path, tiled affine)
+    y_fine_e = bn.apply(v, x, use_running_average=True)
+    y_pk_e = bn.apply(v, pack_nhwc(x), use_running_average=True, packed=True)
+    np.testing.assert_allclose(unpack_nhwc(y_pk_e), y_fine_e, rtol=2e-5, atol=2e-5)

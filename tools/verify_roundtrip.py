@@ -71,6 +71,16 @@ def main(root="exp_r3_goals", db="goals"):
         f"export: {len(sd)} tensors, {len(report.passthrough)} passthrough, "
         f"{len(report.missing)} missing"
     )
+    # the 'missing' keys must all be DEAD parameters (CRPE convs are
+    # inert under the metapool mixer, the cls head is unused by FTC,
+    # 'fuse' is the reference's own dead conv, tcct.py:982) — anything
+    # else would break the forward-parity assertion below anyway
+    live = [
+        k for k in report.missing
+        if not any(s in k for s in ("crpe", "cpe.", "cls_head", ".fuse."))
+        and not k.startswith("base.fuse")
+    ]
+    assert not live, f"live weights missing from export: {live[:8]}"
     missing, unexpected = tnet.load_state_dict(
         {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
         strict=True,

@@ -82,6 +82,11 @@ def main(n: int = 32, out_path: str = ""):
         x = jnp.asarray(vol[:bs])
         s = chained(pred.variables, x, jnp.zeros((1,), jnp.uint8))
         jax.block_until_ready(s)
+        # warm the steady-state signature too (prev_seg is now [bs,H,W]
+        # — a different shape than the zeros seed, i.e. a second compile
+        # that must NOT land inside the timed loop)
+        s = chained(pred.variables, x, s)
+        jax.block_until_ready(s)
         iters = 20
         t0 = time.time()
         for _ in range(iters):
