@@ -55,15 +55,21 @@ def test_prefetcher_decode_error_surfaces(disk_pairs):
     assert imgs.sum() == 0
 
 
-def test_streaming_trainer_from_disk(tmp_path):
+def test_streaming_trainer_from_disk(tmp_path, monkeypatch):
     """Real directory layout (train_img/train_lab) -> EyeSet (non-synthetic
-    branch) -> streaming epoch through BatchPrefetcher + train step."""
+    branch) -> streaming epoch through BatchPrefetcher + train step.
+    Runs on a shrunken goals geometry (streaming mechanics are geometry-
+    independent; the 9 real geometries are covered by tests/test_data.py)."""
     import jax
     import numpy as np
 
+    import tcct_tpu.data.eyeset as eyeset_mod
     from tcct_tpu.data import EyeSet
     from tcct_tpu.models import RegNet, get_model
     from tcct_tpu.train import TrainConfig, Trainer
+
+    small = DatasetGeometry("goals", 5, 0, 1 << 30, "resize", (128, 256))
+    monkeypatch.setattr(eyeset_mod, "get_geometry", lambda db: small)
 
     root = str(tmp_path)
     import os

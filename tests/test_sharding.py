@@ -107,6 +107,7 @@ def test_trainer_dp_matches_single_device(tmp_path, monkeypatch):
             net, dataset, cfg, root=str(tmp_path / tag), bs=8,
             mesh=mesh, debug=True, seed=7,
         )
+        tr.steps_per_epoch = 4  # trajectory equality needs steps, not epochs
         return [tr.train_epoch(e)["los_epoch"] for e in range(2)]
 
     plain = run(None, "plain")

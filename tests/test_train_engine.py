@@ -32,7 +32,11 @@ def trainer(tmp_path_factory):
         n_class=ds.out_channels, crop_hw=(64, 64), ds=True, udh=True, reg=True, epl=True
     )
     root = str(tmp_path_factory.mktemp("exp"))
-    return Trainer(model, ds, cfg, root=root, bs=2, debug=True)
+    tr = Trainer(model, ds, cfg, root=root, bs=2, debug=True)
+    # engine smoke: 4 steps/epoch exercise the same code paths as the
+    # --bug default of 12 at a third of the 1-core CI cost
+    tr.steps_per_epoch = 4
+    return tr
 
 
 def test_fit_one_epoch(trainer):

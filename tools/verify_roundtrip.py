@@ -8,7 +8,7 @@ with ``strict=True`` into the reference modules, and compares eval-mode
 logits on a fixed input — proving fit -> val -> best-ckpt -> export ->
 reference-verify as one loop.
 
-    python tools/verify_roundtrip.py [exp_root=exp_r3_goals] [db=goals]
+    python tools/verify_roundtrip.py [exp_root=exp_r3_goals] [db=goals] [net=stc_tt]
 
 Runs on CPU (torch + jax); safe alongside a TPU job.
 """
@@ -27,14 +27,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(root="exp_r3_goals", db="goals"):
+def main(root="exp_r3_goals", db="goals", net_name="stc_tt"):
     from tcct_tpu.data.geometry import get_geometry
     from tcct_tpu.infer.importer import export_torch_state
     from tcct_tpu.models import RegNet, get_model
     from tcct_tpu.train.state import create_train_state, make_optimizer, restore_checkpoint
 
     nc = get_geometry(db).out_channels
-    net = RegNet(base=get_model("stc_tt", nc, variant="train"), out_channels=nc)
+    net = RegNet(base=get_model(net_name, nc, variant="train"), out_channels=nc)
     opt = make_optimizer(steps_per_epoch=1)
     template = create_train_state(
         net, opt, jax.random.PRNGKey(0),
@@ -59,7 +59,7 @@ def main(root="exp_r3_goals", db="goals"):
             base_vit=tcct.mpvit_tiny(),
             base_cnn=tcct.CrossResNet(flag_tiny=True),
             out_channels=nc,
-            flag_gate=False,
+            flag_gate=net_name.startswith("gtc"),
         ),
         out_channels=nc,
         con="cos",
@@ -126,4 +126,4 @@ def main(root="exp_r3_goals", db="goals"):
 
 
 if __name__ == "__main__":
-    main(*(sys.argv[1:3] or ["exp_r3_goals"]))
+    main(*(sys.argv[1:4] or ["exp_r3_goals"]))
