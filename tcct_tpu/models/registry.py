@@ -117,7 +117,7 @@ def tcct32(n_class=8, **kw):
 def relay(n_class=8, **kw):
     from tcct_tpu.models.relaynet import ReLayNet
 
-    return ReLayNet(out_channels=n_class)
+    return ReLayNet(out_channels=n_class, **kw)
 
 
 def get_model(name: str, n_class: int, **kw):

@@ -27,7 +27,9 @@ def _step_loss(mesh):
     from tcct_tpu.train.state import create_train_state, make_optimizer
 
     n_class = 5
-    model = RegNet(base=get_model("relay", n_class), out_channels=n_class)
+    # width-independent check: narrow relay keeps per-rank compile+compute
+    # cheap (compile skew between ranks risks the Gloo join timeout)
+    model = RegNet(base=get_model("relay", n_class, filters=16), out_channels=n_class)
     cfg = TrainConfig(n_class=n_class, crop_hw=(32, 32), ds=True)
     opt = make_optimizer(steps_per_epoch=4)
     state = create_train_state(

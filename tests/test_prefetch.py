@@ -84,7 +84,10 @@ def test_streaming_trainer_from_disk(tmp_path, monkeypatch):
         cv2.imwrite(f"{root}/goals/train_lab/{i}.png", lab)
     ds = EyeSet.load("goals", root=root)
     assert not ds.synthetic and len(ds.paths["train"]) == 4
-    model = RegNet(base=get_model("relay", ds.out_channels), out_channels=ds.out_channels)
+    model = RegNet(
+        base=get_model("relay", ds.out_channels, filters=16),
+        out_channels=ds.out_channels,
+    )
     cfg = TrainConfig(n_class=ds.out_channels, crop_hw=(64, 64), ds=True)
     tr = Trainer(model, ds, cfg, root=str(tmp_path / "exp"), bs=2, debug=True)
     logs = tr.train_epoch_streaming(epoch=0)
@@ -128,7 +131,10 @@ def test_streaming_caps_oversized_val_alias(tmp_path):
         cv2.imwrite(f"{root}/goals/train_img/{i}.png", img)
         cv2.imwrite(f"{root}/goals/train_lab/{i}.png", lab)
     ds = EyeSet.load("goals", root=root)
-    model = RegNet(base=get_model("relay", ds.out_channels), out_channels=ds.out_channels)
+    model = RegNet(
+        base=get_model("relay", ds.out_channels, filters=16),
+        out_channels=ds.out_channels,
+    )
     cfg = TrainConfig(n_class=ds.out_channels, crop_hw=(64, 64), ds=True)
     _os.environ["TCCT_VAL_CAP"] = "2"
     try:

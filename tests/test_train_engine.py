@@ -27,7 +27,13 @@ def trainer(tmp_path_factory):
         for k, v in saved.items():
             os.environ.pop(k, None) if v is None else os.environ.update({k: v})
     assert ds.synthetic and ds.out_channels == 5
-    model = RegNet(base=get_model("relay", ds.out_channels), out_channels=ds.out_channels)
+    # engine mechanics are model-width-independent: a 16-filter ReLayNet
+    # exercises the same graph structure (BN, pool masks, DS pyramid,
+    # feats heads) at ~1/16th the 1-core conv cost of the default 64
+    model = RegNet(
+        base=get_model("relay", ds.out_channels, filters=16),
+        out_channels=ds.out_channels,
+    )
     cfg = TrainConfig(
         n_class=ds.out_channels, crop_hw=(64, 64), ds=True, udh=True, reg=True, epl=True
     )
