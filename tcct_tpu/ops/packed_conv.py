@@ -19,6 +19,17 @@ Elementwise ops (bias, LeakyReLU, BN affine, GELU) act per fine pixel,
 so on the packed layout they are the same ops with channel-tiled
 parameters.  A fine 2x2/2 maxpool is a max over the 4 phase groups.
 
+Alignment alternation (round 3): a 3x3 conv between a standard-packed
+input and an OFFSET-packed output (cells shifted one fine pixel) needs
+only a [2,2] coarse kernel — 64C^2 vs the [3,3] form's 144C^2 MACs per
+coarse pixel — because each output phase's taps then span exactly two
+coarse cells per axis.  Chaining convs std->off->off->std per block
+(parity-optimal; see ``_packed_block``) cuts the packed 3x3 overhead
+from 4x to ~2.3x average at full MXU lane width.  Offset tensors carry
+two PHANTOM border phases per axis (fine -1 and N) that stand in for
+zero padding; ``mask_phantoms`` re-zeroes them before each consuming
+conv and BN statistics divide by the real element count.
+
 ``cross_resnet_packed`` applies this to the first levels of CrossResNet
 (where the pixels are); deeper levels fall back to the plain modules.
 """
@@ -33,76 +44,107 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def pack_nhwc(x):
-    """[B,H,W,C] -> [B,H/2,W/2,4C], channel order (py, px, c)."""
+def pack_nhwc(x, align=(0, 0)):
+    """[B,H,W,C] -> [B,H/2+ar,W/2+ac,4C], channel order (py, px, c).
+    For an offset-aligned axis the fine tensor is zero-padded by one on
+    each side first, so the phantom border phases start out exactly
+    zero."""
+    if align[0] or align[1]:
+        x = jnp.pad(
+            x,
+            ((0, 0), (align[0], align[0]), (align[1], align[1]), (0, 0)),
+        )
     B, H, W, C = x.shape
     x = x.reshape(B, H // 2, 2, W // 2, 2, C)
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
 
 
-def unpack_nhwc(xp):
-    """[B,h,w,4C] -> [B,2h,2w,C]."""
+def unpack_nhwc(xp, align: Tuple[int, int] = (0, 0)):
+    """[B,h,w,4C] -> fine [B,H,W,C].  For an offset-aligned axis the
+    interleaved sequence spans fine rows -1..N; the phantom border rows
+    are sliced away (H = 2*(h - align))."""
     B, h, w, C4 = xp.shape
     C = C4 // 4
     x = xp.reshape(B, h, w, 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(B, 2 * h, 2 * w, C)
+    x = x.reshape(B, 2 * h, 2 * w, C)
+    if align[0]:
+        x = x[:, 1:-1]
+    if align[1]:
+        x = x[:, :, 1:-1]
+    return x
 
 
-@functools.lru_cache(maxsize=None)
-def _pack_plan(kh: int, kw: int):
-    """Static scatter plan: list of (du_idx, dv_idx, p_phase, q_phase,
-    ky, kx) plus the coarse kernel geometry."""
-    ph, pw = (kh - 1) // 2, (kw - 1) // 2
-    us = [qy + ky - ph for qy in range(2) for ky in range(kh)]
-    vs = [qx + kx - pw for qx in range(2) for kx in range(kw)]
-    du_min, du_max = min(u >> 1 for u in us), max(u >> 1 for u in us)
-    dv_min, dv_max = min(v >> 1 for v in vs), max(v >> 1 for v in vs)
-    KH, KW = du_max - du_min + 1, dv_max - dv_min + 1
+# ---------------------------------------------------------------------------
+# alignment-aware kernel assembly
+#
+# A packed axis carries an ALIGNMENT: 0 = standard (stored cell s holds
+# fine rows {2s, 2s+1}) or 1 = offset (stored cell s holds fine rows
+# {2s-1, 2s}; cell 0's first phase and the last cell's second phase are
+# PHANTOM positions: fine -1 and fine N — junk values that stand in for
+# the fine chain's zero padding and must be masked before any consuming
+# conv).  The payoff: a 3x3 fine conv that FLIPS alignment (std<->off)
+# needs only a [2,2] coarse kernel — 64*C^2 MACs/coarse px instead of the
+# alignment-preserving [3,3]'s 144 — because each output phase's tap
+# window then spans exactly 2 coarse cells.  Chaining convs so alignments
+# alternate (std->off->off->std per CrossCNN block, parity-optimal) cuts
+# the packed 3x3 FLOP overhead from 4x to an average ~2.3x at full
+# 128-lane MXU utilisation, with no Mosaic involvement.
+# ---------------------------------------------------------------------------
+
+def _axis_plan(k: int, a_in: int, a_out: int):
+    """Per-axis tap plan: [(q, ktap, d_rel, p)], coarse kernel size, and
+    explicit (lo, hi) padding.  Output fine row for stored cell t, phase
+    q is ``2t + q - a_out``; input fine row u lands in stored cell
+    ``(u + a_in) >> 1``, phase ``(u + a_in) & 1``."""
+    ph = (k - 1) // 2
     entries = []
-    for qy in range(2):
-        for qx in range(2):
-            for ky in range(kh):
-                for kx in range(kw):
-                    u, v = qy + ky - ph, qx + kx - pw
-                    entries.append(
-                        (
-                            (u >> 1) - du_min,
-                            (v >> 1) - dv_min,
-                            (u & 1) * 2 + (v & 1),  # input phase p
-                            qy * 2 + qx,  # output phase q
-                            ky,
-                            kx,
-                        )
-                    )
-    return KH, KW, -du_min, -dv_min, tuple(entries)
+    ds = []
+    for q in range(2):
+        for kk in range(k):
+            u = q + kk - ph - a_out  # output cell t = 0
+            s = (u + a_in) >> 1
+            p = (u + a_in) & 1
+            entries.append((q, kk, s, p))
+            ds.append(s)
+    dmin, dmax = min(ds), max(ds)
+    K = dmax - dmin + 1
+    pad_lo = -dmin
+    pad_hi = (a_out - a_in) + dmax
+    assert pad_lo >= 0 and pad_hi >= 0, (k, a_in, a_out)
+    return tuple(entries), dmin, K, (pad_lo, pad_hi)
 
 
 @functools.lru_cache(maxsize=None)
-def _pack_matrix(kh: int, kw: int):
+def _pack_matrix(kh: int, kw: int, aligns: Tuple[int, int, int, int] = (0, 0, 0, 0)):
     """Constant 0/1 scatter tensor M[ky,kx,du,dv,p,q] realizing the
-    fine-tap -> packed-tap mapping of ``_pack_plan``."""
-    KH, KW, pad_h, pad_w, entries = _pack_plan(kh, kw)
+    fine-tap -> packed-tap mapping for the given
+    (row_in, row_out, col_in, col_out) alignments."""
+    ar_in, ar_out, ac_in, ac_out = aligns
+    rows, rdmin, KH, pad_r = _axis_plan(kh, ar_in, ar_out)
+    cols, cdmin, KW, pad_c = _axis_plan(kw, ac_in, ac_out)
     M = np.zeros((kh, kw, KH, KW, 4, 4), np.float32)
-    for du, dv, p, q, ky, kx in entries:
-        M[ky, kx, du, dv, p, q] = 1.0
-    return M, pad_h, pad_w
+    for qy, ky, sy, py in rows:
+        for qx, kx, sx, px in cols:
+            M[ky, kx, sy - rdmin, sx - cdmin, py * 2 + px, qy * 2 + qx] = 1.0
+    return M, pad_r, pad_c
 
 
-def pack_kernel(W) -> Tuple[jnp.ndarray, Tuple[int, int], Tuple[int, int]]:
+def pack_kernel(W, in_align=(0, 0), out_align=(0, 0)):
     """HWIO fine kernel -> (packed HWIO kernel [KH,KW,4Ci,4Co],
-    (pad_h, pad_w) explicit coarse padding).
+    ((lo,hi) row pad, (lo,hi) col pad) explicit coarse padding).
 
     One einsum against a constant selection tensor — NOT a scatter chain:
     the ``.at[].add`` formulation unrolled to ~50 dynamic-update-slices
     per conv per step inside the epoch scan (profiled: ~1 ms/step of DUS
     + their backward gathers on v5e)."""
     kh, kw, ci, co = W.shape
-    M, pad_h, pad_w = _pack_matrix(kh, kw)
+    aligns = (in_align[0], out_align[0], in_align[1], out_align[1])
+    M, pad_r, pad_c = _pack_matrix(kh, kw, aligns)
     Wp = jnp.einsum(
         "yxuvpq,yxio->uvpiqo", jnp.asarray(M, W.dtype), W
     )
     KH, KW = M.shape[2], M.shape[3]
-    return Wp.reshape(KH, KW, 4 * ci, 4 * co), (pad_h, pad_w)
+    return Wp.reshape(KH, KW, 4 * ci, 4 * co), pad_r, pad_c
 
 
 def tile4(v):
@@ -110,15 +152,53 @@ def tile4(v):
     return jnp.tile(v, 4)
 
 
-def packed_conv(xp, W_fine, bias=None):
+@functools.lru_cache(maxsize=None)
+def _phantom_masks_np(S1: int, S2: int, C: int, align: Tuple[int, int]):
+    """Per-axis multiplicative masks zeroing the phantom phases of an
+    offset-aligned packed tensor (fine rows -1 and N).  Returned as two
+    rank-2 arrays ([S1, 4C], [S2, 4C]) so the multiply stays two cheap
+    broadcast ops XLA fuses into the producer; None for std axes."""
+    mr = mc = None
+    if align[0]:
+        m = np.ones((S1, 2, 2, C), np.float32)
+        m[0, 0] = 0.0   # phase (py=0, *): fine row -1
+        m[-1, 1] = 0.0  # phase (py=1, *): fine row N
+        mr = m.reshape(S1, 4 * C)
+    if align[1]:
+        m = np.ones((S2, 2, 2, C), np.float32)
+        m[0, :, 0] = 0.0   # phase (*, px=0): fine col -1
+        m[-1, :, 1] = 0.0  # phase (*, px=1): fine col N
+        mc = m.reshape(S2, 4 * C)
+    return mr, mc
+
+
+def mask_phantoms(xp, align: Tuple[int, int]):
+    """Zero the phantom positions of offset-aligned axes (they carry
+    bias/BN/activation junk from previous elementwise ops, but stand in
+    for the fine chain's zero padding)."""
+    if not (align[0] or align[1]):
+        return xp
+    B, S1, S2, C4 = xp.shape
+    mr, mc = _phantom_masks_np(S1, S2, C4 // 4, align)
+    if mr is not None:
+        xp = xp * jnp.asarray(mr, xp.dtype)[None, :, None, :]
+    if mc is not None:
+        xp = xp * jnp.asarray(mc, xp.dtype)[None, None, :, :]
+    return xp
+
+
+def packed_conv(xp, W_fine, bias=None, in_align=(0, 0), out_align=(0, 0)):
     """Apply a fine-grid conv (HWIO, odd kernel, SAME zero pad) on the
-    packed representation.  Exact."""
-    Wp, (ph, pw) = pack_kernel(W_fine.astype(xp.dtype))
+    packed representation, between the given axis alignments.  Exact:
+    offset-aligned inputs are phantom-masked so out-of-range fine taps
+    read zero, exactly like the fine conv's SAME padding."""
+    xp = mask_phantoms(xp, in_align)
+    Wp, pad_r, pad_c = pack_kernel(W_fine.astype(xp.dtype), in_align, out_align)
     y = jax.lax.conv_general_dilated(
         xp,
         Wp,
         window_strides=(1, 1),
-        padding=((ph, ph), (pw, pw)),
+        padding=(pad_r, pad_c),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     if bias is not None:
@@ -152,26 +232,37 @@ def _gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+STD = (0, 0)
+OFF = (1, 1)
+
+
 def _packed_block(xp, params: Dict, stats: Dict):
-    """One CrossCNNBlock (eval) on the packed layout."""
+    """One CrossCNNBlock (eval) on the packed layout.
+
+    Alignment plan (parity-optimal, see the header comment): the two
+    flipping 3x3s per branch get [2,2] coarse kernels; only block12_1
+    (off->off) keeps the [3,3] form.  The 1xk/kx1 cross convs are
+    alignment-preserving at their standard cost.  std -> OFF -> std per
+    block, so skips/pool stay on the standard layout."""
     dt = xp.dtype
 
-    def conv(name, src):
+    def conv(name, src, ia=STD, oa=STD):
         p = params[name]
-        return packed_conv(src, p["kernel"], p["bias"])
+        return packed_conv(src, p["kernel"], p["bias"], in_align=ia, out_align=oa)
 
     def affine(name, src):
         s, t = _fold_bn(params[name], stats[name])
         return src * tile4(s).astype(dt) + tile4(t).astype(dt)
 
-    a = conv("block12_1", conv("block12_0", xp).astype(dt)).astype(dt)
+    a = conv("block12_0", xp, STD, OFF).astype(dt)
+    a = conv("block12_1", a, OFF, OFF).astype(dt)
     a = affine("block12_3", _lrelu(a))
     b = conv("block34_0", xp).astype(dt)
     b = conv("block34_1", b).astype(dt)
-    b = conv("block34_2", b).astype(dt)
+    b = conv("block34_2", b, STD, OFF).astype(dt)
     b = affine("block34_4", _lrelu(b))
     g = _gelu(a + b)
-    y = conv("block5_0", g.astype(dt)).astype(dt)
+    y = conv("block5_0", g.astype(dt), OFF, STD).astype(dt)
     return affine("block5_2", _lrelu(y))
 
 
@@ -179,22 +270,35 @@ def _packed_block(xp, params: Dict, stats: Dict):
 # training path: phase-aware BN batch statistics
 # ---------------------------------------------------------------------------
 
-def _bn_train_packed(xp, bn: Dict, stats: Dict, momentum: float = 0.9, eps: float = 1e-5):
+def _bn_train_packed(
+    xp,
+    bn: Dict,
+    stats: Dict,
+    momentum: float = 0.9,
+    eps: float = 1e-5,
+    align: Tuple[int, int] = (0, 0),
+):
     """Train-mode BatchNorm on the packed layout.
 
     Fine-channel statistics reduce over (B, H, W) — on the packed tensor
     that is (B, h, w, the 4 phase groups), the exact same element set, so
-    numerics match flax BatchNorm up to reassociation.  Returns the
-    normalized tensor and the EMA-updated running stats."""
+    numerics match flax BatchNorm up to reassociation.  On an
+    offset-aligned tensor the phantom border phases are masked out of the
+    sums and the divisor is the REAL fine element count, so statistics
+    stay exact.  Returns the normalized tensor and the EMA-updated
+    running stats (phantom positions get normalized junk — harmless, the
+    next conv masks them)."""
     B, h, w, C4 = xp.shape
     C = C4 // 4
     # f32 accumulation happens INSIDE the reductions (fused convert) —
     # materializing an f32 copy of the activation costs real HBM traffic
     # (see models/layers.py::BatchNorm)
-    xg = xp.reshape(B, h, w, 4, C)
-    mean = jnp.mean(xg.astype(jnp.float32), axis=(0, 1, 2, 3))
+    xm = mask_phantoms(xp, align)
+    n = B * 2 * (h - align[0]) * 2 * (w - align[1])
+    xg = xm.reshape(B, h, w, 4, C)
+    mean = jnp.sum(xg.astype(jnp.float32), axis=(0, 1, 2, 3)) / n
     var = (
-        jnp.mean(xg.astype(jnp.float32) * xg.astype(jnp.float32), axis=(0, 1, 2, 3))
+        jnp.sum(xg.astype(jnp.float32) * xg.astype(jnp.float32), axis=(0, 1, 2, 3)) / n
         - mean * mean
     )
     inv = bn["scale"] / jnp.sqrt(var + eps)
@@ -207,26 +311,30 @@ def _bn_train_packed(xp, bn: Dict, stats: Dict, momentum: float = 0.9, eps: floa
 
 
 def _packed_block_train(xp, params: Dict, stats: Dict):
+    """Train-mode CrossCNNBlock on the packed layout, same
+    alignment-alternating plan as ``_packed_block`` (std -> OFF -> std);
+    BN statistics on offset tensors are phantom-masked (exact)."""
     dt = xp.dtype
     new_stats = {}
 
-    def conv(name, src):
+    def conv(name, src, ia=STD, oa=STD):
         p = params[name]
-        return packed_conv(src, p["kernel"], p["bias"])
+        return packed_conv(src, p["kernel"], p["bias"], in_align=ia, out_align=oa)
 
-    def bn(name, src):
-        y, ns = _bn_train_packed(src, params[name], stats[name])
+    def bn(name, src, align=STD):
+        y, ns = _bn_train_packed(src, params[name], stats[name], align=align)
         new_stats[name] = ns
         return y
 
-    a = conv("block12_1", conv("block12_0", xp).astype(dt)).astype(dt)
-    a = bn("block12_3", _lrelu(a))
+    a = conv("block12_0", xp, STD, OFF).astype(dt)
+    a = conv("block12_1", a, OFF, OFF).astype(dt)
+    a = bn("block12_3", _lrelu(a), OFF)
     b = conv("block34_0", xp).astype(dt)
     b = conv("block34_1", b).astype(dt)
-    b = conv("block34_2", b).astype(dt)
-    b = bn("block34_4", _lrelu(b))
+    b = conv("block34_2", b, STD, OFF).astype(dt)
+    b = bn("block34_4", _lrelu(b), OFF)
     g = _gelu(a + b)
-    y = conv("block5_0", g.astype(dt)).astype(dt)
+    y = conv("block5_0", g.astype(dt), OFF, STD).astype(dt)
     return bn("block5_2", _lrelu(y)), new_stats
 
 

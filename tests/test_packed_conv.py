@@ -35,6 +35,61 @@ def test_packed_conv_exact(kh, kw):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("ia", [(0, 0), (0, 1), (1, 0), (1, 1)])
+@pytest.mark.parametrize("oa", [(0, 0), (1, 1)])
+@pytest.mark.parametrize("kh,kw", [(3, 3), (1, 5), (5, 1)])
+def test_packed_conv_alignments_exact(ia, oa, kh, kw):
+    """Every alignment transition must reproduce the fine conv, including
+    the zero-padding boundary semantics carried by the phantom phases."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 16, 24, 8)).astype(np.float32))
+    W = jnp.asarray(rng.normal(size=(kh, kw, 8, 8)).astype(np.float32)) * 0.1
+    b = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, W, (1, 1), ((kh // 2, kh // 2), (kw // 2, kw // 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    xp = pack_nhwc(x, align=ia)
+    got = unpack_nhwc(packed_conv(xp, W, b, in_align=ia, out_align=oa), align=oa)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=1e-5, atol=1e-5)
+
+
+def test_packed_conv_masks_phantom_junk():
+    """Offset-aligned inputs carry bias/BN junk in the phantom border
+    phases after elementwise ops; the consuming conv must read them as
+    zero (the fine chain's SAME padding)."""
+    from tcct_tpu.ops.packed_conv import mask_phantoms
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(1, 12, 12, 4)).astype(np.float32))
+    W = jnp.asarray(rng.normal(size=(3, 3, 4, 4)).astype(np.float32)) * 0.1
+    xp = pack_nhwc(x, align=(1, 1))
+    # pollute exactly the phantom positions (everything the mask zeroes)
+    junk = jnp.asarray(rng.normal(size=xp.shape).astype(np.float32))
+    xp_junk = xp + (junk - mask_phantoms(junk, (1, 1)))
+    clean = packed_conv(xp, W, None, in_align=(1, 1), out_align=(0, 0))
+    dirty = packed_conv(xp_junk, W, None, in_align=(1, 1), out_align=(0, 0))
+    np.testing.assert_allclose(np.asarray(clean), np.asarray(dirty), rtol=1e-6)
+
+
+def test_bn_train_packed_offset_stats_exact():
+    """Masked BN statistics on an offset tensor must equal fine-layout
+    statistics (phantoms excluded from sums, real element count)."""
+    from tcct_tpu.ops.packed_conv import _bn_train_packed
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(2, 12, 16, 4)).astype(np.float32))
+    bn = {"scale": jnp.ones(4), "bias": jnp.zeros(4)}
+    st = {"mean": jnp.zeros(4), "var": jnp.ones(4)}
+    xp = pack_nhwc(x, align=(1, 1)) + 3.0  # uniform shift pollutes phantoms
+    x_shift = x + 3.0
+    _, ns = _bn_train_packed(xp, bn, st, align=(1, 1))
+    want_mean = np.asarray(x_shift, np.float64).mean(axis=(0, 1, 2))
+    want_var = np.asarray(x_shift, np.float64).var(axis=(0, 1, 2))
+    np.testing.assert_allclose(np.asarray(ns["mean"]), 0.1 * want_mean, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ns["var"]), 0.9 + 0.1 * want_var, rtol=1e-4)
+
+
 def test_packed_maxpool_exact():
     from tcct_tpu.ops.pool import max_pool_2d
 
