@@ -68,7 +68,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "compute copies, f32 masters + f32 BN statistics — the "
                         "TPU-first default; f32 for parity experiments)")
     p.add_argument("--packed_cnn", type=str2bool, default=None,
-                   help="space-to-depth conv lowering in training (exact, ~1.3x). "
+                   help="space-to-depth conv lowering in training (exact, ~2x with alignment alternation). "
                         "Default: auto — ON for FTC models with a CNN branch and crop %% 32 == 0 "
                         "(verified bit-close over 100 steps, tests/test_packed_conv.py)")
     return p
