@@ -54,6 +54,25 @@ def test_packed_conv_alignments_exact(ia, oa, kh, kw):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=1e-5, atol=1e-5)
 
 
+def test_alignment_plan_kernel_geometry():
+    """The FLOP win is the whole point: an alignment-FLIPPING 3x3 must
+    assemble to a [2,2] coarse kernel (64C^2 MACs/coarse px), and only
+    the alignment-preserving form pays [3,3] (144C^2).  Pin it so the
+    block plan can't silently regress."""
+    from tcct_tpu.ops.packed_conv import _pack_matrix
+
+    def coarse_shape(aligns):
+        M, _, _ = _pack_matrix(3, 3, aligns)
+        return M.shape[2], M.shape[3]
+
+    assert coarse_shape((0, 1, 0, 1)) == (2, 2)  # std -> off flip
+    assert coarse_shape((1, 0, 1, 0)) == (2, 2)  # off -> std flip
+    assert coarse_shape((0, 0, 0, 0)) == (3, 3)  # std preserve
+    assert coarse_shape((1, 1, 1, 1)) == (3, 3)  # off preserve
+    # per-axis mixing: flip rows only
+    assert coarse_shape((0, 1, 0, 0)) == (2, 3)
+
+
 def test_packed_conv_masks_phantom_junk():
     """Offset-aligned inputs carry bias/BN junk in the phantom border
     phases after elementwise ops; the consuming conv must read them as
