@@ -134,6 +134,10 @@ class FTC(nn.Module):
     vit_cfg: MPViTConfig
     cnn_tiny: bool = True
     cnn_plain: bool = False
+    # SegNeXt MSCA attention after each CNN block (the reference carries
+    # this dead: commented ``self.att = MSCA(out_c)`` at tcct.py:824,
+    # module at onnx/tcct_goals.py:803-834) — live here via --net=msca
+    cnn_msca: bool = False
     out_channels: int = 5
     filters: int = 32
     flag_gate: bool = False
@@ -150,7 +154,9 @@ class FTC(nn.Module):
 
     def setup(self):
         self.base_vit = MPViT(self.vit_cfg, name="base_vit")
-        self.base_cnn = CrossResNet(tiny=self.cnn_tiny, plain=self.cnn_plain, name="base_cnn")
+        self.base_cnn = CrossResNet(
+            tiny=self.cnn_tiny, plain=self.cnn_plain, msca=self.cnn_msca, name="base_cnn"
+        )
         ld = self.base_cnn.layer_dims
         ed = self.vit_cfg.embed_dims
         t32 = self.variant == "t32"

@@ -42,6 +42,7 @@ def _ftc(vit_cfg, tiny, gate, n_class, plain=False, flag_cnn=True, flag_vit=True
         flag_gate=gate,
         flag_cnn=flag_cnn,
         flag_vit=flag_vit,
+        cnn_msca=kw.pop("cnn_msca", False),
         variant=kw.pop("variant", "train"),
     )
 
@@ -104,6 +105,14 @@ def pnnu(n_class=8, **kw):
 @register("vitu")
 def vitu(n_class=8, **kw):
     return _ftc(_vit_cfg("tiny", kw), True, False, n_class, flag_cnn=False, **kw)
+
+
+@register("msca")
+def msca(n_class=8, **kw):
+    """stc_tt with SegNeXt MSCA attention after every CrossCNN block —
+    the reference's dead module (onnx/tcct_goals.py:803-834, commented
+    hook at nets/tcct.py:824) made constructible."""
+    return _ftc(_vit_cfg("tiny", kw), True, False, n_class, cnn_msca=True, **kw)
 
 
 @register("tcct32")

@@ -63,6 +63,15 @@ def test_msca():
     v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
     xs = m.apply(v, x, train=False)
     assert len(xs) == 5 and "att_0" in v["params"]
+    # the registry entry plumbs the flag through FTC into the CNN branch
+    ftc = get_model("msca", 5)
+    vf = ftc.init({"params": jax.random.PRNGKey(0)}, jnp.zeros(SMALL), train=False)
+    assert "att_0" in vf["params"]["base_cnn"]
+    # and stc_tt stays MSCA-free (param tree unchanged by the new field)
+    vp = get_model("stc_tt", 5).init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros(SMALL), train=False
+    )
+    assert "att_0" not in vp["params"]["base_cnn"]
 
 
 def test_max_unpool_roundtrip():
