@@ -126,6 +126,10 @@ def tcct32(n_class=8, **kw):
 def relay(n_class=8, **kw):
     from tcct_tpu.models.relaynet import ReLayNet
 
+    # FTC-only knobs the CLI passes unconditionally (cli/main.py)
+    kw.pop("variant", None)
+    kw.pop("mixer", None)
+    kw.pop("drop_path_rate", None)
     return ReLayNet(out_channels=n_class, **kw)
 
 

@@ -27,6 +27,13 @@ def test_zoo_forward(name):
     assert feats[0].shape[:3] == SMALL[:3]
 
 
+@pytest.mark.parametrize("name", list_models())
+def test_zoo_accepts_cli_kwargs(name):
+    # the CLI passes these unconditionally (cli/main.py); every factory
+    # must accept (or discard) them — relay once crashed here
+    get_model(name, 5, variant="train", mixer="metapool")
+
+
 @pytest.mark.parametrize("mixer", ["metapool", "metapool2d", "factor", "hydra"])
 def test_mixers(mixer):
     model = get_model("stc_tt", 5, mixer=mixer)
