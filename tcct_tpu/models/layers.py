@@ -100,6 +100,47 @@ def packed_heads_active() -> bool:
     return _PACKED_HEADS
 
 
+# ---------------------------------------------------------------------------
+# trace-time depthwise-3x3 lowering (Pallas)
+#
+# XLA's TPU lowering of depthwise 3x3 convs runs ~8x off the HBM roofline
+# (profiled: 1.54 ms/step across the ViT branch's cpe/proj, patch-embed
+# and ResBlock dwconvs, plus the space-to-batch reshape/copy chains
+# around the stride-2 patch embeds).  ``ops/pallas/dwconv.py`` replaces
+# the eligible ones (3x3, stride 1 or 2, SAME, groups == channels) with
+# a VMEM-resident kernel whose FUSED backward reads x and g once for
+# both dx and all nine dw taps.  Tri-state gate: None = auto (real TPU
+# backend, single device — a Pallas call under a >1-device mesh would be
+# replicated by GSPMD); True = force (CPU tests run the interpreter);
+# False = off.
+#
+# DEFAULT: OFF until measured on-chip (set TCCT_PALLAS_DW=1 for auto) —
+# the kernel is exact (tests/test_dwconv.py: fwd + both grads + full-
+# model parity at 2e-6 rel), but this round's TPU window closed before
+# the Mosaic compile + A/B could run, and an unmeasured default in the
+# driver-contract path (bench.py, __graft_entry__) is not worth the
+# risk.  Flip the default here once the A/B (/tmp/dw_ab.py pattern)
+# shows the win.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_PALLAS_DW = None if _os.environ.get("TCCT_PALLAS_DW", "0") == "1" else False
+
+
+@contextlib.contextmanager
+def pallas_dw(enable):
+    """Trace-time switch for the Pallas depthwise-3x3 lowering
+    (True / False / None=auto)."""
+    global _PALLAS_DW
+    prev = _PALLAS_DW
+    _PALLAS_DW = enable
+    try:
+        yield
+    finally:
+        _PALLAS_DW = prev
+
+
 @contextlib.contextmanager
 def packed_io(enable: bool = True):
     """Trace-time switch: inside this context, eligible convs take
@@ -147,6 +188,31 @@ class MaybePackedConv(nn.Conv):
             and x.shape[-1] <= _PACK_MAX_CIN
         )
 
+    def _dw_pallas_eligible(self, x) -> bool:
+        from tcct_tpu.ops.pallas.dwconv import dwconv3x3_eligible
+
+        if _PALLAS_DW is False or x.ndim != 4:
+            return False
+        if _PALLAS_DW is None:
+            from tcct_tpu.ops.pallas.dwconv import on_tpu
+
+            if not on_tpu() or jax.device_count() != 1:
+                return False
+        strides = self.strides if self.strides is not None else (1, 1)
+        if strides == 1:
+            strides = (1, 1)
+        return (
+            tuple(self.kernel_size) == (3, 3)
+            and strides in ((1, 1), (2, 2))
+            and self.feature_group_count == self.features
+            and x.shape[-1] == self.features
+            and isinstance(self.padding, (tuple, list))
+            and tuple(map(tuple, self.padding)) == ((1, 1), (1, 1))
+            and self.kernel_dilation in (None, 1, (1, 1))
+            and self.input_dilation in (None, 1, (1, 1))
+            and dwconv3x3_eligible(x.shape, x.dtype, stride=strides[0])
+        )
+
     def _params(self, cin):
         kshape = tuple(self.kernel_size) + (cin, self.features)
         kernel = self.param("kernel", self.kernel_init, kshape, self.param_dtype)
@@ -184,6 +250,15 @@ class MaybePackedConv(nn.Conv):
                 kernel.astype(x.dtype),
                 bias.astype(x.dtype) if bias is not None else None,
             )
+        if self._dw_pallas_eligible(x):
+            from tcct_tpu.ops.pallas.dwconv import dwconv3x3
+
+            strides = self.strides if self.strides not in (None, 1) else (1, 1)
+            kernel, bias = self._params(1)
+            y = dwconv3x3(x, kernel.astype(x.dtype), stride=strides[0])
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
         if not self._pack_eligible(x):
             return super().__call__(x)
         kernel, bias = self._params(x.shape[-1])

@@ -1,0 +1,138 @@
+"""A/B: Pallas dwconv3x3 vs the XLA grouped conv — isolated micro fwd/bwd
+(stride 1 and 2) plus the full flagship train-epoch comparison.
+
+Run from the repo root on the real TPU: python tools/bench_dwconv.py
+(arm nothing — the script toggles models.layers.pallas_dw itself).
+"""
+import sys, time
+# run from the repo root
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+print("devices:", jax.devices(), file=sys.stderr)
+
+
+def timeit(fn, x, iters=30):
+    y = fn(x); jax.block_until_ready(y)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            y = fn(y)
+        jax.block_until_ready(y)
+        best = min(best, (time.time() - t0) / iters)
+    return best
+
+
+def micro(shape, dtype=jnp.bfloat16):
+    from tcct_tpu.ops.pallas.dwconv import dwconv3x3
+    rng = np.random.default_rng(0)
+    B, H, W, C = shape
+    x0 = jnp.asarray(rng.normal(size=shape)).astype(dtype)
+    k = jnp.asarray(rng.normal(size=(3, 3, 1, C))).astype(dtype)
+
+    def ref(x):
+        y = jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+        return y + x * 1e-6  # chain
+
+    def pal(x):
+        return dwconv3x3(x, k, interpret=False) + x * 1e-6
+
+    fr = timeit(jax.jit(ref), x0)
+    fp = timeit(jax.jit(pal), x0)
+
+    co = jnp.ones(shape, dtype)
+    def g_ref(x):
+        gx = jax.grad(lambda x: jnp.sum(ref(x).astype(jnp.float32) * co))(x)
+        return gx
+    def g_pal(x):
+        gx = jax.grad(lambda x: jnp.sum(pal(x).astype(jnp.float32) * co))(x)
+        return gx
+    br = timeit(jax.jit(g_ref), x0)
+    bp = timeit(jax.jit(g_pal), x0)
+    # numeric check
+    d = jnp.max(jnp.abs(jax.jit(pal)(x0).astype(jnp.float32) - jax.jit(ref)(x0).astype(jnp.float32)))
+    print(f"{shape} {dtype.__name__}: fwd xla {fr*1e3:.3f} ms, pallas {fp*1e3:.3f} ms | "
+          f"fwd+bwd(x) xla {br*1e3:.3f} ms, pallas {bp*1e3:.3f} ms | maxdiff {float(d):.2e}")
+
+
+def epoch_ab():
+    from tcct_tpu.models import RegNet, get_model
+    from tcct_tpu.models.layers import pallas_dw
+    from tcct_tpu.train import TrainConfig
+    from tcct_tpu.train.state import create_train_state, make_optimizer
+    from tcct_tpu.train.step import build_train_epoch
+
+    n_class, hw, bs = 5, (256, 256), 8
+    model = RegNet(base=get_model("stc_tt", n_class), out_channels=n_class)
+    cfg = TrainConfig(n_class=n_class, crop_hw=hw, ds=True, dtype=jnp.bfloat16, packed_cnn=True)
+    opt = make_optimizer(steps_per_epoch=100)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 255, (24, 300, 512, 3), dtype=np.uint8))
+    labs = jnp.asarray(rng.integers(0, n_class, (24, 300, 512)).astype(np.uint8))
+    idx = jnp.asarray(rng.integers(0, 24, (24, bs)))
+
+    for mode, label in ((False, "xla-dw"), (None, "pallas-dw(auto)")):
+        with pallas_dw(mode):
+            state = create_train_state(model, opt, jax.random.PRNGKey(0),
+                                       jnp.zeros((1, hw[0], hw[1], 3)),
+                                       jnp.zeros((1, hw[0], hw[1], n_class)))
+            epoch_fn = build_train_epoch(model, opt, cfg)
+            t0 = time.time()
+            state, losses = epoch_fn(state, imgs, labs, idx)
+            jax.block_until_ready(losses)
+            print(f"{label}: compile+first {time.time()-t0:.1f}s", file=sys.stderr)
+            best = 1e9
+            for _ in range(3):
+                t0 = time.time()
+                for _ in range(2):
+                    state, losses = epoch_fn(state, imgs, labs, idx)
+                jax.block_until_ready(losses)
+                best = min(best, (time.time() - t0) / 48)
+            print(f"{label}: {best*1e3:.2f} ms/step, final loss {float(losses['total'][-1]):.5f}")
+
+
+def micro_s2(shape, dtype=jnp.bfloat16):
+    from tcct_tpu.ops.pallas.dwconv import dwconv3x3
+    rng = np.random.default_rng(0)
+    B, H, W, C = shape
+    x0 = jnp.asarray(rng.normal(size=shape)).astype(dtype)
+    k = jnp.asarray(rng.normal(size=(3, 3, 1, C))).astype(dtype)
+
+    def ref(x):
+        return jax.lax.conv_general_dilated(
+            x, k, (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+
+    def pal(x):
+        return dwconv3x3(x, k, interpret=False, stride=2)
+
+    def chain(f):
+        def g(x):
+            y = f(x)
+            up = jnp.repeat(jnp.repeat(y, 2, 1), 2, 2)
+            return x + up.astype(x.dtype) * 1e-6
+        return g
+
+    fr = timeit(jax.jit(chain(ref)), x0)
+    fp = timeit(jax.jit(chain(pal)), x0)
+    co = None
+    def gref(x):
+        return jax.grad(lambda x: jnp.sum(ref(x).astype(jnp.float32)))(x) + x*1e-6
+    def gpal(x):
+        return jax.grad(lambda x: jnp.sum(pal(x).astype(jnp.float32)))(x) + x*1e-6
+    br = timeit(jax.jit(gref), x0)
+    bp = timeit(jax.jit(gpal), x0)
+    d = jnp.max(jnp.abs(jax.jit(pal)(x0).astype(jnp.float32) - jax.jit(ref)(x0).astype(jnp.float32)))
+    print(f"s2 {shape} {dtype.__name__}: fwd xla {fr*1e3:.3f} pallas {fp*1e3:.3f} | "
+          f"fwd+bwd xla {br*1e3:.3f} pallas {bp*1e3:.3f} | maxdiff {float(d):.2e}")
+
+
+if __name__ == "__main__":
+    micro((8, 128, 128, 64))
+    micro((8, 64, 64, 96))
+    micro_s2((8, 128, 128, 96))
+    epoch_ab()
