@@ -131,8 +131,29 @@ def micro_s2(shape, dtype=jnp.bfloat16):
           f"fwd+bwd xla {br*1e3:.3f} pallas {bp*1e3:.3f} | maxdiff {float(d):.2e}")
 
 
+def infer_ab():
+    from tcct_tpu.models import RegNet, get_model
+    from tcct_tpu.models.layers import pallas_dw
+    from tcct_tpu.ops.packed_conv import ftc_forward_packed
+    from tcct_tpu.train.precision import cast_floating
+
+    n_class, bs = 5, 8
+    net = RegNet(base=get_model("stc_tt", n_class, variant="infer"), out_channels=n_class)
+    x = jnp.ones((bs, 256, 256, 3), jnp.float32)
+    variables = jax.jit(lambda: net.init({"params": jax.random.PRNGKey(0)}, x, train=False))()
+    v = cast_floating(variables, jnp.bfloat16)
+    for mode, label in ((False, "infer xla-dw"), (None, "infer pallas-dw(auto)")):
+        with pallas_dw(mode):
+            def step(x):
+                pyr, _ = ftc_forward_packed(net, v, x.astype(jnp.bfloat16))
+                return x + jnp.mean(pyr[0].astype(jnp.float32)) * 1e-12
+            dt = timeit(jax.jit(step), x)
+            print(f"{label}: {dt*1e3:.2f} ms/step = {bs/dt:.0f} B-scans/s")
+
+
 if __name__ == "__main__":
     micro((8, 128, 128, 64))
     micro((8, 64, 64, 96))
     micro_s2((8, 128, 128, 96))
+    infer_ab()
     epoch_ab()
