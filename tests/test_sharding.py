@@ -18,6 +18,38 @@ def test_dryrun_multichip_contract():
     g.dryrun_multichip(8)  # asserts finiteness internally
 
 
+def test_dryrun_survives_unavailable_tpu_backend():
+    """VERDICT r3 item 1a: dryrun_multichip must never initialize a backend
+    in the parent process.  Simulate an axon outage by selecting the axon
+    platform WITHOUT registering it — any parent-side jax.devices() then
+    raises 'unknown backend' immediately (on the real stack it would hang
+    ~30 min).  The dryrun must still pass via its CPU-subprocess path."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # sitecustomize skips register()
+    env["JAX_PLATFORMS"] = "axon"
+    code = (
+        "import jax, __graft_entry__ as g\n"
+        "try:\n"
+        "    jax.devices()\n"
+        "except Exception:\n"
+        "    pass\n"
+        "else:\n"
+        "    raise SystemExit('expected axon backend to be unavailable')\n"
+        "g.dryrun_multichip(2)\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, "-c", code], cwd=repo, env=env,
+        capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "dryrun_multichip ok" in res.stdout
+
+
 def test_entry_contract():
     import __graft_entry__ as g
 
