@@ -204,6 +204,13 @@ class FTC(nn.Module):
         # the 'gate' rng may be deliberately absent (pinned_gate() parity
         # mode draws the alpha pattern from a deterministic hash instead)
         need_rng = self.flag_gate and train and self.has_rng("gate")
+        if self.flag_gate and train and not need_rng and not _PINNED_GATE:
+            raise ValueError(
+                "gated fusion in train mode without a 'gate' PRNG collection "
+                "— stochastic gating would silently degrade to the eval "
+                "alpha=0.5; pass rngs={'gate': key} to apply(), or wrap the "
+                "trace in pinned_gate() for deterministic-parity alphas"
+            )
         rngs = [self.make_rng("gate") if need_rng else None for _ in range(4)]
 
         # cnn_feats: externally computed CNN pyramid (e.g. the packed

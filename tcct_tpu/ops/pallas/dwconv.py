@@ -88,6 +88,20 @@ def _pick_hb(H: int, W: int, C: int, itemsize: int):
     return None
 
 
+def _require_block(blk, fn_name: str, shape, itemsize: int):
+    """Direct callers (bench tools, future users) bypass the
+    MaybePackedConv/dwconv3x3_eligible gate; give them a readable error
+    instead of an opaque NoneType arithmetic failure (ADVICE r3)."""
+    if blk is None:
+        raise ValueError(
+            f"dwconv3x3 {fn_name}: no feasible row block fits the "
+            f"{_VMEM_BUDGET_BYTES // (1 << 20)} MiB VMEM budget for input "
+            f"shape {tuple(shape)} (itemsize {itemsize}); check "
+            f"dwconv3x3_eligible() before calling"
+        )
+    return blk
+
+
 def _halo_mask(xb, i):
     """Zero the undefined out-of-range halo rows of an [hb+2, W, C] block
     (first row of the first block, last row of the last block)."""
@@ -156,7 +170,8 @@ def _specs(B, H, W, C, hb):
 
 def _fwd_call(x, w, interpret):
     B, H, W, C = x.shape
-    hb = _pick_hb(H, W, C, jnp.dtype(x.dtype).itemsize)
+    itemsize = jnp.dtype(x.dtype).itemsize
+    hb = _require_block(_pick_hb(H, W, C, itemsize), '_fwd_call', x.shape, itemsize)
     halo, wspec, out = _specs(B, H, W, C, hb)
     return pl.pallas_call(
         _fwd_kernel,
@@ -170,7 +185,8 @@ def _fwd_call(x, w, interpret):
 
 def _bwd_call(x, w, g, interpret):
     B, H, W, C = x.shape
-    hb = _pick_hb(H, W, C, jnp.dtype(x.dtype).itemsize)
+    itemsize = jnp.dtype(x.dtype).itemsize
+    hb = _require_block(_pick_hb(H, W, C, itemsize), '_bwd_call', x.shape, itemsize)
     nH = H // hb
     halo, wspec, out = _specs(B, H, W, C, hb)
     dwspec = pl.BlockSpec(
@@ -312,7 +328,8 @@ def _pick_ob(H: int, W: int, C: int, itemsize: int):
 
 def _fwd_call_s2(x, w, interpret):
     B, H, W, C = x.shape
-    ob = _pick_ob(H, W, C, jnp.dtype(x.dtype).itemsize)
+    itemsize = jnp.dtype(x.dtype).itemsize
+    ob = _require_block(_pick_ob(H, W, C, itemsize), '_fwd_call_s2', x.shape, itemsize)
     halo = pl.BlockSpec(
         (1, pl.Element(2 * ob + 2, (1, 1)), pl.Element(W, (0, 0)), pl.Element(C, (0, 0))),
         lambda b, i: (b, i * 2 * ob, 0, 0),
@@ -334,7 +351,8 @@ def _fwd_call_s2(x, w, interpret):
 
 def _bwd_call_s2(x, w, g, interpret):
     B, H, W, C = x.shape
-    ob = _pick_ob(H, W, C, jnp.dtype(x.dtype).itemsize)
+    itemsize = jnp.dtype(x.dtype).itemsize
+    ob = _require_block(_pick_ob(H, W, C, itemsize), '_bwd_call_s2', x.shape, itemsize)
     nB = (H // 2) // ob
     halo = pl.BlockSpec(
         (1, pl.Element(2 * ob + 2, (1, 1)), pl.Element(W, (0, 0)), pl.Element(C, (0, 0))),

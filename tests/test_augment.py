@@ -65,3 +65,23 @@ def test_determinism_same_key():
     a = train_augment_batch(imgs, labs, jax.random.PRNGKey(7), (64, 64))
     b = train_augment_batch(imgs, labs, jax.random.PRNGKey(7), (64, 64))
     np.testing.assert_allclose(a[0], b[0])
+
+
+def test_folded_u8_crop_matches_crop_non_empty():
+    """ADVICE r3: the folded-u8 crop is the default train-path crop and
+    claims byte-exactness + identical PRNG consumption vs crop_non_empty
+    on the converted image — pin it (foreground AND empty-mask cases)."""
+    from tcct_tpu.data.augment import crop_non_empty_folded_u8
+
+    imgs, labs = _batch(B=2)
+    empty = jnp.zeros(labs[0].shape, labs.dtype)
+    cases = [(imgs[0], labs[0]), (imgs[1], empty)]
+    for i, (img_u8, lab) in enumerate(cases):
+        for seed in (0, 1, 2):
+            key = jax.random.PRNGKey(10 * i + seed)
+            a_img, a_lab = crop_non_empty_folded_u8(
+                img_u8, lab.astype(jnp.uint8), key, (64, 64)
+            )
+            b_img, b_lab = crop_non_empty(img_u8, lab, key, (64, 64))
+            np.testing.assert_array_equal(np.asarray(a_img), np.asarray(b_img))
+            np.testing.assert_array_equal(np.asarray(a_lab), np.asarray(b_lab).astype(np.uint8))
