@@ -260,6 +260,26 @@ class MaybePackedConv(nn.Conv):
                 y = y + bias.astype(y.dtype)
             return y
         if not self._pack_eligible(x):
+            from tcct_tpu.ops.winograd import (
+                conv3x3_winograd,
+                winograd_active,
+                winograd_eligible,
+            )
+
+            if (
+                winograd_active()
+                and self.feature_group_count == 1
+                and winograd_eligible(
+                    x.shape, tuple(self.kernel_size) + (0, 0),
+                    self.strides, self.padding,
+                )
+            ):
+                kernel, bias = self._params(x.shape[-1])
+                return conv3x3_winograd(
+                    x,
+                    kernel.astype(x.dtype),
+                    bias=bias.astype(x.dtype) if bias is not None else None,
+                )
             return super().__call__(x)
         kernel, bias = self._params(x.shape[-1])
         yp = packed_conv(

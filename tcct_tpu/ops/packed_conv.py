@@ -194,6 +194,22 @@ def packed_conv(xp, W_fine, bias=None, in_align=(0, 0), out_align=(0, 0)):
     read zero, exactly like the fine conv's SAME padding."""
     xp = mask_phantoms(xp, in_align)
     Wp, pad_r, pad_c = pack_kernel(W_fine.astype(xp.dtype), in_align, out_align)
+    # optional Winograd lowering of the coarse [3,3] form (the one conv
+    # per block alignment alternation cannot reduce to [2,2]) — gated,
+    # see ops/winograd.py
+    from tcct_tpu.ops.winograd import conv3x3_winograd, winograd_active
+
+    if (
+        winograd_active()
+        and Wp.shape[:2] == (3, 3)
+        and (tuple(pad_r), tuple(pad_c)) == ((1, 1), (1, 1))
+        and xp.shape[1] % 2 == 0
+        and xp.shape[2] % 2 == 0
+    ):
+        y = conv3x3_winograd(xp, Wp)
+        if bias is not None:
+            y = y + tile4(bias).astype(y.dtype)
+        return y
     y = jax.lax.conv_general_dilated(
         xp,
         Wp,
