@@ -1,14 +1,27 @@
 """Fused Pallas CrossCNNBlock / CrossResNet vs the flax modules
 (interpret mode on CPU; exactness also holds compiled on TPU — verified
-against the torch goldens through the full FTC)."""
+against the torch goldens through the full FTC).
+
+Retired to attic/ with the kernel (measured 3-5x slower than XLA's conv
+fusions — see crosscnn_fused.py docstring).  Run standalone from the
+repo root: python -m pytest attic/test_fused_crosscnn.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+jax.config.update("jax_platforms", "cpu")
+
 from tcct_tpu.models.crosscnn import CrossCNNBlock, CrossResNet
-from tcct_tpu.ops.pallas.crosscnn_fused import cross_resnet_fused, fused_cross_block
+from crosscnn_fused import cross_resnet_fused, fused_cross_block
 
 
 def _rand_stats(stats, rng):

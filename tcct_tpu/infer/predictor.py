@@ -36,8 +36,9 @@ class VolumePredictor:
     mesh: Optional[object] = None
     dtype: object = jnp.bfloat16  # serving default: bf16 (HBM-bound model)
     # CNN-branch implementation: 'packed' (space-to-depth exact rewrite,
-    # 2.35x faster, serving default for FTC models), 'plain' (module
-    # path, any model), 'fused_pallas' (experimental, see kernel status)
+    # 2.35x faster, serving default for FTC models) or 'plain' (module
+    # path, any model).  The experimental fused Pallas block kernel was
+    # measured 3-5x slower and retired to attic/crosscnn_fused.py.
     cnn_impl: str = "plain"
 
     def __post_init__(self):
@@ -67,10 +68,12 @@ class VolumePredictor:
                     # (fine, packed) pairs: the FTC tail consumes the
                     # packed skips directly (packed dec4 + 1x1 heads)
                     kw["cnn_feats"] = [(f, q) for f, q in zip(fine, pk)]
-                elif self.cnn_impl == "fused_pallas":
-                    from tcct_tpu.ops.pallas.crosscnn_fused import cross_resnet_fused
-
-                    kw["cnn_feats"] = cross_resnet_fused(x, p["base_cnn"], s["base_cnn"])
+                else:
+                    raise ValueError(
+                        f"unknown cnn_impl {self.cnn_impl!r}; the experimental "
+                        "'fused_pallas' kernel lives in attic/crosscnn_fused.py "
+                        "(measured 3-5x slower than the XLA conv fusions)"
+                    )
             with packed_heads(self.cnn_impl == "packed"):
                 pyr, _ = self.model.apply(variables, x, train=False, **kw)
             logits = pyr[0] if isinstance(pyr, (list, tuple)) else pyr

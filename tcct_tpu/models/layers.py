@@ -114,13 +114,13 @@ def packed_heads_active() -> bool:
 # replicated by GSPMD); True = force (CPU tests run the interpreter);
 # False = off.
 #
-# DEFAULT: OFF until measured on-chip (set TCCT_PALLAS_DW=1 for auto) —
-# the kernel is exact (tests/test_dwconv.py: fwd + both grads + full-
-# model parity at 2e-6 rel), but this round's TPU window closed before
-# the Mosaic compile + A/B could run, and an unmeasured default in the
-# driver-contract path (bench.py, __graft_entry__) is not worth the
-# risk.  Flip the default here once the A/B (/tmp/dw_ab.py pattern)
-# shows the win.
+# DEFAULT: OFF — measured on-chip r4 (tools/bench_dwconv.py, v5e) and
+# it LOSES: train epoch 23.15 vs XLA 19.71 ms/step, infer 7.69 vs 6.48,
+# micro fwd+bwd 1.344 vs 0.958 ms at [8,128,128,64] bf16 (full numbers
+# in BACKLOG.md).  The kernel is exact (tests/test_dwconv.py) and the
+# stride-1 path Mosaic-compiles; stride-2's fused backward trips a
+# Mosaic reduction bug and is excluded from the compiled path.  Set
+# TCCT_PALLAS_DW=1 to arm for re-measurement on a newer stack.
 # ---------------------------------------------------------------------------
 
 import os as _os
@@ -189,15 +189,12 @@ class MaybePackedConv(nn.Conv):
         )
 
     def _dw_pallas_eligible(self, x) -> bool:
-        from tcct_tpu.ops.pallas.dwconv import dwconv3x3_eligible
+        from tcct_tpu.ops.pallas.dwconv import dwconv3x3_eligible, on_tpu
 
         if _PALLAS_DW is False or x.ndim != 4:
             return False
-        if _PALLAS_DW is None:
-            from tcct_tpu.ops.pallas.dwconv import on_tpu
-
-            if not on_tpu() or jax.device_count() != 1:
-                return False
+        if _PALLAS_DW is None and (not on_tpu() or jax.device_count() != 1):
+            return False
         strides = self.strides if self.strides is not None else (1, 1)
         if strides == 1:
             strides = (1, 1)
@@ -210,7 +207,11 @@ class MaybePackedConv(nn.Conv):
             and tuple(map(tuple, self.padding)) == ((1, 1), (1, 1))
             and self.kernel_dilation in (None, 1, (1, 1))
             and self.input_dilation in (None, 1, (1, 1))
-            and dwconv3x3_eligible(x.shape, x.dtype, stride=strides[0])
+            # compiled (non-interpreter) lowering excludes stride-2: its
+            # backward trips a Mosaic reduction bug (see dwconv.py)
+            and dwconv3x3_eligible(
+                x.shape, x.dtype, stride=strides[0], compiled=on_tpu()
+            )
         )
 
     def _params(self, cin):

@@ -17,13 +17,17 @@ This kernel fixes both ends at once:
   nine ``dw`` tap sums — the data reuse XLA cannot express across its
   separate input/filter backprop convs.
 
-Blocking: grid over (batch, H row-blocks).  Row blocks carry a one-row
-halo on each side via ``pl.Element(hb+2, (1, 1))`` (elementwise start
-indexing); the out-of-range halo rows at the image border are UNDEFINED
-memory and are masked to zero in-kernel, reproducing the conv's SAME
-zero padding.  The W axis stays whole per block (padded by one column
-in-kernel) with f32 temporaries chunked along W; channels ride the
-128-wide lane axis so every tap shift is a cheap sublane/address shift.
+Blocking: grid over (batch, H row-blocks).  The input's H axis is
+zero-padded by one row on each side in XLA (the pad fuses into the
+producer), so every row block is an in-range ``pl.Element(hb+2)``
+window of the padded array — the only halo form this Mosaic stack
+lowers (out-of-range Element windows fail with "low padding not
+supported", and mixing Element with blocked dims in one BlockSpec is
+rejected outright).  The border zeros are real memory, reproducing the
+conv's SAME zero padding with no in-kernel masking.  The W axis stays
+whole per block (padded by one column in-kernel) with f32 temporaries
+chunked along W; channels ride the 128-wide lane axis so every tap
+shift is a cheap sublane/address shift.
 
 Semantics match ``lax.conv_general_dilated`` with kernel [3,3,1,C],
 ``feature_group_count=C``, stride 1 or 2, SAME zero padding (flax/torch
@@ -51,10 +55,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # per-block VMEM budget: the halo'd inputs, dx block and chunked f32
-# temps must fit alongside the pipeline's double buffers
-_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+# temps must fit alongside the pipeline's double buffers.  4 MiB keeps
+# the backward under the 16 MiB scoped-vmem limit (measured: hb=64 at
+# [8,128,128,64] bf16 compiles to 16.45 MiB scoped and is rejected).
+_VMEM_BUDGET_BYTES = 4 * 1024 * 1024
 _W_CHUNK = 64
 _HB_TARGET = 64  # preferred row-block height
+
+def _params(*grid_semantics):
+    """Shared Mosaic compiler params: the (batch, row-block) grid dims are
+    independent, and the default 16 MiB scoped-vmem limit undercounts the
+    relayout temporaries Mosaic materializes for the phase-split reshapes
+    (s2 forward measured 20.3 MiB scoped at ob=16); v5e VMEM is far
+    larger, so raise the cap and keep blocks small for pipelining."""
+    return pltpu.CompilerParams(
+        dimension_semantics=grid_semantics or ("parallel", "parallel"),
+        vmem_limit_bytes=64 * 1024 * 1024,
+    )
 
 
 def on_tpu() -> bool:
@@ -102,22 +119,24 @@ def _require_block(blk, fn_name: str, shape, itemsize: int):
     return blk
 
 
-def _halo_mask(xb, i):
-    """Zero the undefined out-of-range halo rows of an [hb+2, W, C] block
-    (first row of the first block, last row of the last block)."""
-    n = pl.num_programs(1)
-    row = jax.lax.broadcasted_iota(jnp.int32, xb.shape, 0)
-    valid = ((row > 0) | (i > 0)) & ((row < xb.shape[0] - 1) | (i < n - 1))
-    return jnp.where(valid, xb, jnp.zeros((), xb.dtype))
-
-
 def _padw(x):
     return jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
 
 
+def _padrows(x):
+    """Zero-pad the H axis of [B, H, W, C] by one row on each side.
+
+    Mosaic cannot express out-of-range Element windows ("low padding not
+    supported"), so the SAME-conv row halo is materialized by this XLA
+    pad instead: every halo'd row block is then a plain in-range Element
+    window of the padded array, and the border zeros are real memory
+    (no in-kernel masking).  XLA fuses the pad into the producing op,
+    so the cost is two extra rows of HBM traffic, not a full copy."""
+    return jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+
 def _fwd_kernel(x_ref, w_ref, o_ref):
-    i = pl.program_id(1)
-    xb = _halo_mask(x_ref[0], i)  # [hb+2, W, C]
+    xb = x_ref[0]  # [hb+2, W, C] halo'd rows of the pre-padded input
     hb = xb.shape[0] - 2
     W, C = xb.shape[1], xb.shape[2]
     xp = _padw(xb)  # [hb+2, W+2, C]
@@ -132,9 +151,8 @@ def _fwd_kernel(x_ref, w_ref, o_ref):
 
 
 def _bwd_kernel(x_ref, w_ref, g_ref, dx_ref, dw_ref):
-    i = pl.program_id(1)
-    xb = _halo_mask(x_ref[0], i)
-    gb = _halo_mask(g_ref[0], i)
+    xb = x_ref[0]  # halo'd rows of the pre-padded x
+    gb = g_ref[0]  # halo'd rows of the pre-padded g
     hb = xb.shape[0] - 2
     W, C = xb.shape[1], xb.shape[2]
     xp = _padw(xb)
@@ -158,8 +176,14 @@ def _bwd_kernel(x_ref, w_ref, g_ref, dx_ref, dw_ref):
 
 
 def _specs(B, H, W, C, hb):
+    # Halo'd row windows of the PRE-PADDED [B, H+2, W, C] array: window i
+    # covers padded rows [i*hb, i*hb+hb+2) — always in range, so the
+    # Element windows need no low/high padding (the only form this
+    # Mosaic stack lowers).  A BlockSpec must be all-Element when any
+    # dim is; batch blocks are size 1 so block index == element start.
     halo = pl.BlockSpec(
-        (1, pl.Element(hb + 2, (1, 1)), pl.Element(W, (0, 0)), pl.Element(C, (0, 0))),
+        (pl.Element(1, (0, 0)), pl.Element(hb + 2, (0, 0)),
+         pl.Element(W, (0, 0)), pl.Element(C, (0, 0))),
         lambda b, i: (b, i * hb, 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -180,7 +204,8 @@ def _fwd_call(x, w, interpret):
         out_specs=out,
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
         interpret=interpret,
-    )(x, w)
+        compiler_params=_params(),
+    )(_padrows(x), w)
 
 
 def _bwd_call(x, w, g, interpret):
@@ -202,7 +227,8 @@ def _bwd_call(x, w, g, interpret):
             jax.ShapeDtypeStruct((B, nH, 3, 3, C), jnp.float32),
         ],
         interpret=interpret,
-    )(x, w, g)
+        compiler_params=_params(),
+    )(_padrows(x), w, _padrows(g))
     return dx, jnp.sum(dwp, axis=(0, 1))
 
 
@@ -241,16 +267,27 @@ def _wpairs(x, W):
     return r0[:, :, 0, :], r0[:, :, 1, :], r2[:, :, 0, :]
 
 
+def _row_phase(xp, a, ob):
+    """Rows a, a+2, ..., a+2*ob-2 of a [2*ob+2, W', C] block.
+
+    A strided leading-dim slice traces to a >2-D gather, which Mosaic
+    rejects; splitting the (untiled) leading dim into (pairs, phase) and
+    indexing the phase statically lowers as plain slices."""
+    xr = xp.reshape(ob + 1, 2, xp.shape[1], xp.shape[2])
+    if a < 2:
+        return xr[0:ob, a]
+    return xr[1 : ob + 1, 0]
+
+
 def _fwd_kernel_s2(x_ref, w_ref, o_ref):
-    i = pl.program_id(1)
-    xb = _halo_mask(x_ref[0], i)  # [2*ob+2, W, C]; rows 2*i*ob-1 ..
+    xb = x_ref[0]  # [2*ob+2, W, C] halo'd rows of the pre-padded input
     ob = (xb.shape[0] - 2) // 2
     W, C = xb.shape[1], xb.shape[2]
     xp = _padw(xb)  # [2*ob+2, W+2, C]
     w = w_ref[...].astype(jnp.float32)
     acc = jnp.zeros((ob, W // 2, C), jnp.float32)
     for a in range(3):
-        rows = xp[a : a + 2 * ob : 2]  # [ob, W+2, C]
+        rows = _row_phase(xp, a, ob)  # [ob, W+2, C]
         taps = _wpairs(rows, W)
         for b in range(3):
             acc += taps[b].astype(jnp.float32) * w[a, b][None, None, :]
@@ -260,28 +297,28 @@ def _fwd_kernel_s2(x_ref, w_ref, o_ref):
 def _bwd_kernel_s2(x_ref, w_ref, g_ref, dx_ref, dw_ref):
     """Fused stride-2 backward: dx (transposed conv, phase-interleaved)
     and the nine dw tap sums, one read of x and g."""
-    i = pl.program_id(1)
-    n = pl.num_programs(1)
-    xb = _halo_mask(x_ref[0], i)  # [2*ob+2, W, C] input rows
-    gb = g_ref[0]  # [ob+1, W//2, C]: g rows i*ob .. i*ob+ob (last is halo)
+    xb = x_ref[0]  # [2*ob+2, W, C] halo'd rows of the pre-padded x
+    gb = g_ref[0]  # [ob+1, W//2, C]: g rows i*ob .. i*ob+ob of the
+    # trailing-row-padded g (the halo row is a real zero past the end)
     ob = gb.shape[0] - 1
     Wo, C = gb.shape[1], gb.shape[2]
     W = 2 * Wo
-    # the trailing halo row is undefined past the last block
-    grow = jax.lax.broadcasted_iota(jnp.int32, gb.shape, 0)
-    gb = jnp.where((grow < ob) | (i < n - 1), gb, jnp.zeros((), gb.dtype))
     xp = _padw(xb)
     w = w_ref[...].astype(jnp.float32)
     gf = gb[0:ob].astype(jnp.float32)
 
     # dw[a,b] = sum x[2i+a-1, 2j+b-1] * g[i,j]
     for a in range(3):
-        rows = xp[a : a + 2 * ob : 2]
+        rows = _row_phase(xp, a, ob)
         taps = _wpairs(rows, W)
         for b in range(3):
-            dw_ref[0, 0, a, b] = jnp.sum(
-                taps[b].astype(jnp.float32) * gf, axis=(0, 1)
-            ).astype(dw_ref.dtype)
+            # flatten to 2D before reducing: both the (0,1)
+            # multi_reduction and the chained 3D->2D->1D reductions hit
+            # Mosaic internal errors (offset "-2" layouts) on this stack;
+            # a [rows*Wo, C] sublane reduction is the vanilla form
+            prod = taps[b].astype(jnp.float32) * gf
+            flat = prod.reshape(prod.shape[0] * prod.shape[1], C)
+            dw_ref[0, 0, a, b] = jnp.sum(flat, axis=0).astype(dw_ref.dtype)
 
     # dx[p,q] = sum_{a,b | p=2i+a-1, q=2j+b-1} w[a,b] * g[i,j]
     # row phases: even p=2i -> only a=1 contributes (from g row i);
@@ -331,7 +368,8 @@ def _fwd_call_s2(x, w, interpret):
     itemsize = jnp.dtype(x.dtype).itemsize
     ob = _require_block(_pick_ob(H, W, C, itemsize), '_fwd_call_s2', x.shape, itemsize)
     halo = pl.BlockSpec(
-        (1, pl.Element(2 * ob + 2, (1, 1)), pl.Element(W, (0, 0)), pl.Element(C, (0, 0))),
+        (pl.Element(1, (0, 0)), pl.Element(2 * ob + 2, (0, 0)),
+         pl.Element(W, (0, 0)), pl.Element(C, (0, 0))),
         lambda b, i: (b, i * 2 * ob, 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -346,7 +384,8 @@ def _fwd_call_s2(x, w, interpret):
         out_specs=out,
         out_shape=jax.ShapeDtypeStruct((B, H // 2, W // 2, C), x.dtype),
         interpret=interpret,
-    )(x, w)
+        compiler_params=_params(),
+    )(_padrows(x), w)
 
 
 def _bwd_call_s2(x, w, g, interpret):
@@ -355,15 +394,16 @@ def _bwd_call_s2(x, w, g, interpret):
     ob = _require_block(_pick_ob(H, W, C, itemsize), '_bwd_call_s2', x.shape, itemsize)
     nB = (H // 2) // ob
     halo = pl.BlockSpec(
-        (1, pl.Element(2 * ob + 2, (1, 1)), pl.Element(W, (0, 0)), pl.Element(C, (0, 0))),
+        (pl.Element(1, (0, 0)), pl.Element(2 * ob + 2, (0, 0)),
+         pl.Element(W, (0, 0)), pl.Element(C, (0, 0))),
         lambda b, i: (b, i * 2 * ob, 0, 0),
         memory_space=pltpu.VMEM,
     )
     wspec = pl.BlockSpec((3, 3, C), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM)
     gspec = pl.BlockSpec(
         (
-            1,
-            pl.Element(ob + 1, (0, 1)),
+            pl.Element(1, (0, 0)),
+            pl.Element(ob + 1, (0, 0)),
             pl.Element(W // 2, (0, 0)),
             pl.Element(C, (0, 0)),
         ),
@@ -376,6 +416,7 @@ def _bwd_call_s2(x, w, g, interpret):
     dwspec = pl.BlockSpec(
         (1, 1, 3, 3, C), lambda b, i: (b, i, 0, 0, 0), memory_space=pltpu.VMEM
     )
+    g_p = jnp.pad(g, ((0, 0), (0, 1), (0, 0), (0, 0)))  # real trailing halo row
     dx, dwp = pl.pallas_call(
         _bwd_kernel_s2,
         grid=(B, nB),
@@ -386,7 +427,8 @@ def _bwd_call_s2(x, w, g, interpret):
             jax.ShapeDtypeStruct((B, nB, 3, 3, C), jnp.float32),
         ],
         interpret=interpret,
-    )(x, w, g)
+        compiler_params=_params(),
+    )(_padrows(x), w, g_p)
     return dx, jnp.sum(dwp, axis=(0, 1))
 
 
@@ -408,13 +450,23 @@ def _dw3x3_s2_bwd(interpret, res, g):
 _dw3x3_s2.defvjp(_dw3x3_s2_fwd, _dw3x3_s2_bwd)
 
 
-def dwconv3x3_eligible(x_shape, dtype, stride: int = 1) -> bool:
-    """A feasible row-block height must exist for the given shape."""
+def dwconv3x3_eligible(x_shape, dtype, stride: int = 1, compiled: bool = False) -> bool:
+    """A feasible row-block height must exist for the given shape.
+
+    ``compiled=True`` (the Mosaic path, not the interpreter): stride-2 is
+    EXCLUDED — its fused backward's dw-tap reduction crashes the Mosaic
+    compiler on this stack regardless of form (multi_reduction over
+    (0,1), chained single-axis, and flattened-2D all fail with an
+    internal offset-layout ("-2") error because the phase-split slices
+    carry sublane offsets).  The stride-2 kernels stay correct in
+    interpreter mode (tests) and ready for a fixed Mosaic."""
     if len(x_shape) != 4:
         return False
     _, H, W, C = x_shape
     itemsize = jnp.dtype(dtype).itemsize
     if stride == 2:
+        if compiled:
+            return False
         return (
             H % 2 == 0
             and W % 2 == 0

@@ -4,8 +4,8 @@
 Run from the repo root on the real TPU: python tools/bench_dwconv.py
 (arm nothing — the script toggles models.layers.pallas_dw itself).
 """
-import sys, time
-# run from the repo root
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -154,6 +154,12 @@ def infer_ab():
 if __name__ == "__main__":
     micro((8, 128, 128, 64))
     micro((8, 64, 64, 96))
-    micro_s2((8, 128, 128, 96))
+    try:
+        micro_s2((8, 128, 128, 96))
+    except Exception as e:
+        # stride-2 compiled path is excluded (Mosaic reduction bug, see
+        # ops/pallas/dwconv.py::dwconv3x3_eligible) — keep probing it here
+        # so a fixed Mosaic shows up as this starting to pass
+        print(f"s2 micro failed (known Mosaic bug): {type(e).__name__}", file=sys.stderr)
     infer_ab()
     epoch_ab()

@@ -6,7 +6,8 @@ train-epoch and serving comparisons.
 Run from the repo root on the real TPU: python tools/bench_winograd.py
 (arms nothing permanently — toggles ops.winograd.winograd_convs itself).
 """
-import sys, time
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
