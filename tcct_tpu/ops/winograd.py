@@ -37,11 +37,17 @@ f32, ~1e-2 bf16 — same order as bf16 conv rounding itself).  Therefore
 DEFAULT OFF: arm with ``winograd_convs()`` / ``TCCT_WINOGRAD=1`` and
 A/B on hardware (tools/bench_winograd.py) before flipping any default.
 
-STATUS: built + exact-tested (tests/test_winograd.py), NOT yet timed on
-hardware.  Known risk, to be settled by the A/B: the transform-domain
-tensors V and M are 16/4 = 4x the input/output bytes, so the pure-XLA
-form trades the 2.25x MAC cut against extra HBM traffic; if it loses,
-the fix is a fused Pallas variant keeping V/M in VMEM.
+STATUS: MEASURED ON CHIP r4 (tools/bench_winograd.py, v5e) — LOSES
+everywhere; stays gated OFF.  The anticipated risk was real: the
+transform-domain tensors V and M are 16/4 = 4x the input/output bytes,
+and through XLA that HBM traffic swamps the 2.25x MAC cut.  Numbers:
+micro [8,128,128,128] bf16 fwd 3.727 vs direct 1.013 ms (0.27x),
+fwd+bwd 4.871 vs 0.935 (0.19x); [8,64,64,96] the best case at 0.67x
+fwd / 0.93x fwd+bwd; serving 14.13 vs 6.48 ms/step; train epoch 25.33
+vs 19.67 ms/step.  The only remaining shape is a fused Pallas variant
+keeping V/M in VMEM — blocked today by the documented Mosaic
+restrictions (attic/crosscnn_fused.py) and deprioritized: the measured
+loss margin means even a perfect fusion saves <2 ms/step.
 """
 
 from __future__ import annotations
