@@ -36,12 +36,84 @@ conv and BN statistics divide by the real element count.
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import os
 from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# ---------------------------------------------------------------------------
+# pack/unpack lowering: 'reshape' (6-D reshape+transpose) or 'conv'
+# (constant 0/1 permutation kernel on the MXU).
+#
+# The round-4 train trace itemizes ~1.3 ms/step of XLA copies around the
+# reshape form's 6-D intermediates ([8,64,64,2,2,C]{5,4,3,0,2,1:T(2,128)}
+# relayout chains at every level boundary and skip unpack); the conv
+# form (EXACT: each output element is 1.0*x + zeros) was built to kill
+# them.  MEASURED ON CHIP r4 (tools/bench_pack.py, v5e): serving is a
+# wash (6.53 vs 6.51 ms/step) but TRAINING LOSES 29.17 vs 19.69 ms/step
+# — the unpack's lhs_dilation=2 conv and both forms' input-dilated
+# backwards take XLA's slow dilated-conv path, costing far more than
+# the relayout chains they replace.  DEFAULT: 'reshape' ('auto' is the
+# same policy gate but routes to conv — kept, with the exactness test,
+# for re-measurement on stacks with better dilated-conv handling; arm
+# via TCCT_PACK_IMPL=auto|conv).
+# ---------------------------------------------------------------------------
+
+_PACK_IMPL = os.environ.get("TCCT_PACK_IMPL", "reshape")  # reshape | auto | conv
+_PACK_CONV_MIN_C = 16
+
+
+@contextlib.contextmanager
+def pack_lowering(impl: str):
+    """Trace-time switch for the pack/unpack lowering ('auto' | 'conv' |
+    'reshape') — A/B'd by tools/bench_pack.py."""
+    global _PACK_IMPL
+    prev = _PACK_IMPL
+    _PACK_IMPL = impl
+    try:
+        yield
+    finally:
+        _PACK_IMPL = prev
+
+
+def _use_conv_pack(dtype, C: int) -> bool:
+    if _PACK_IMPL == "conv":
+        return True
+    if _PACK_IMPL == "reshape":
+        return False
+    return jnp.issubdtype(dtype, jnp.floating) and C >= _PACK_CONV_MIN_C
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_conv_kernel_np(C: int):
+    """[2,2,C,4C] 0/1 kernel: stride-2 VALID conv == pack_nhwc (channel
+    order (py, px, c), matching the reshape form exactly)."""
+    k = np.zeros((2, 2, C, 4 * C), np.float32)
+    for py in range(2):
+        for px in range(2):
+            for c in range(C):
+                k[py, px, c, (py * 2 + px) * C + c] = 1.0
+    return k
+
+
+@functools.lru_cache(maxsize=None)
+def _unpack_conv_kernel_np(C: int):
+    """[2,2,4C,C] 0/1 kernel: lhs_dilation=2 conv with padding (1,1) on
+    each axis == unpack_nhwc.  Output fine pixel (p,q) reads dilated
+    position (p+ky-1, q+kx-1); even dilated positions hold cell
+    (p+ky-1)/2 and odd ones are zeros, so exactly one tap fires per
+    output pixel: phase (1-ky, 1-kx) of the covering cell."""
+    k = np.zeros((2, 2, 4 * C, C), np.float32)
+    for ky in range(2):
+        for kx in range(2):
+            py, px = 1 - ky, 1 - kx
+            for c in range(C):
+                k[ky, kx, (py * 2 + px) * C + c, c] = 1.0
+    return k
 
 
 def pack_nhwc(x, align=(0, 0)):
@@ -55,6 +127,14 @@ def pack_nhwc(x, align=(0, 0)):
             ((0, 0), (align[0], align[0]), (align[1], align[1]), (0, 0)),
         )
     B, H, W, C = x.shape
+    if _use_conv_pack(x.dtype, C):
+        return jax.lax.conv_general_dilated(
+            x,
+            jnp.asarray(_pack_conv_kernel_np(C), x.dtype),
+            window_strides=(2, 2),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     x = x.reshape(B, H // 2, 2, W // 2, 2, C)
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
 
@@ -65,8 +145,18 @@ def unpack_nhwc(xp, align: Tuple[int, int] = (0, 0)):
     are sliced away (H = 2*(h - align))."""
     B, h, w, C4 = xp.shape
     C = C4 // 4
-    x = xp.reshape(B, h, w, 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
-    x = x.reshape(B, 2 * h, 2 * w, C)
+    if _use_conv_pack(xp.dtype, C):
+        x = jax.lax.conv_general_dilated(
+            xp,
+            jnp.asarray(_unpack_conv_kernel_np(C), xp.dtype),
+            window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    else:
+        x = xp.reshape(B, h, w, 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B, 2 * h, 2 * w, C)
     if align[0]:
         x = x[:, 1:-1]
     if align[1]:

@@ -243,3 +243,35 @@ def test_batchnorm_packed_matches_fine():
     y_fine_e = bn.apply(v, x, use_running_average=True)
     y_pk_e = bn.apply(v, pack_nhwc(x), use_running_average=True, packed=True)
     np.testing.assert_allclose(unpack_nhwc(y_pk_e), y_fine_e, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("C,align", [(16, (0, 0)), (32, (1, 1)), (96, (1, 0))])
+def test_conv_pack_lowering_exact(C, align):
+    """The constant-kernel conv lowering of pack/unpack (round 4: kills
+    the 6-D reshape relayout chains, ~1.3 ms/step of XLA copies) is
+    bitwise-exact vs the reshape form — forward, roundtrip and grads —
+    for f32 and bf16; integer inputs stay on the reshape path."""
+    from tcct_tpu.ops.packed_conv import pack_lowering
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 16, 12, C)).astype(np.float32))
+    for dt in (jnp.float32, jnp.bfloat16):
+        xd = x.astype(dt)
+        with pack_lowering("reshape"):
+            ref = pack_nhwc(xd, align)
+            uref = unpack_nhwc(ref, align)
+        with pack_lowering("conv"):
+            got = pack_nhwc(xd, align)
+            ugot = unpack_nhwc(ref, align)
+        assert ref.shape == got.shape and jnp.array_equal(ref, got)
+        assert jnp.array_equal(uref, ugot)
+
+    def g(impl):
+        with pack_lowering(impl):
+            return jax.grad(
+                lambda x: jnp.sum(jnp.sin(unpack_nhwc(pack_nhwc(x, align), align)))
+            )(x)
+
+    assert jnp.array_equal(g("reshape"), g("conv"))
+    xu = jnp.asarray(rng.integers(0, 255, (2, 8, 8, C), dtype=np.uint8))
+    assert pack_nhwc(xu).dtype == jnp.uint8  # auto keeps u8 on reshape
