@@ -356,14 +356,26 @@ class BatchNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32)
         )
-        xs = x.reshape(x.shape[:-1] + (4, C)) if packed else x
+        from tcct_tpu.ops.packed_conv import stat_impl
+
+        vector_stats = not packed or stat_impl() == "vector"
+        xs = x if vector_stats else x.reshape(x.shape[:-1] + (4, C))
         axes = tuple(range(xs.ndim - 1))
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             xf = xs.astype(jnp.float32) if xs.dtype != jnp.float32 else xs
+            # packed 'vector' lowering: reduce to a per-PACKED-channel [4C]
+            # vector first and fold the phase groups on the vector (phases
+            # have equal element counts, so mean-of-phase-means is the fine
+            # mean exactly, reassociated).  Measured a wash vs the [..,4,C]
+            # reshape form on chip (ops/packed_conv.py _STAT_IMPL note)
             mean = jnp.mean(xf, axis=axes)
-            var = jnp.mean(xf * xf, axis=axes) - mean * mean
+            var = jnp.mean(xf * xf, axis=axes)
+            if packed and vector_stats:
+                mean = jnp.mean(mean.reshape(4, C), axis=0)
+                var = jnp.mean(var.reshape(4, C), axis=0)
+            var = var - mean * mean
             if not self.is_initializing():
                 m = self.momentum
                 ra_mean.value = m * ra_mean.value.astype(jnp.float32) + (1 - m) * mean.astype(jnp.float32)

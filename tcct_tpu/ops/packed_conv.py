@@ -63,14 +63,44 @@ import numpy as np
 # via TCCT_PACK_IMPL=auto|conv).
 # ---------------------------------------------------------------------------
 
-_PACK_IMPL = os.environ.get("TCCT_PACK_IMPL", "reshape")  # reshape | auto | conv
+_PACK_IMPL = os.environ.get("TCCT_PACK_IMPL", "reshape")  # reshape | auto | conv | slice
 _PACK_CONV_MIN_C = 16
+
+# BN-statistic / phase-maxpool lowerings on the packed layout, MEASURED
+# on chip r4 (tools/bench_statpool.py, flagship train epoch, v5e):
+#   stats reshape/vector = 19.74/19.73 ms/step (wash — the [..,4,C]
+#     reshape was NOT a relayout cost; 'vector' kept: fewer ops, no 5-D
+#     intermediate);
+#   pool slices = 20.49/20.51 vs reshape 19.74 ms/step (the lane-offset
+#     channel-slice max tree LOSES 0.76 ms — XLA's reshape+reduce_max
+#     is the better form; 'slices' kept only as a measured-and-rejected
+#     record).
+_STAT_IMPL = os.environ.get("TCCT_PACK_STATS", "vector")  # vector | reshape
+_POOL_IMPL = os.environ.get("TCCT_PACK_POOL", "reshape")  # reshape | slices
+
+
+@contextlib.contextmanager
+def stat_pool_lowering(stats: str = None, pool: str = None):
+    """Trace-time switch for the packed BN-stats ('vector' | 'reshape')
+    and phase-maxpool ('slices' | 'reshape') lowerings."""
+    global _STAT_IMPL, _POOL_IMPL
+    prev = (_STAT_IMPL, _POOL_IMPL)
+    _STAT_IMPL = stats or _STAT_IMPL
+    _POOL_IMPL = pool or _POOL_IMPL
+    try:
+        yield
+    finally:
+        _STAT_IMPL, _POOL_IMPL = prev
+
+
+def stat_impl() -> str:
+    return _STAT_IMPL
 
 
 @contextlib.contextmanager
 def pack_lowering(impl: str):
     """Trace-time switch for the pack/unpack lowering ('auto' | 'conv' |
-    'reshape') — A/B'd by tools/bench_pack.py."""
+    'reshape' | 'slice') — A/B'd by tools/bench_pack.py."""
     global _PACK_IMPL
     prev = _PACK_IMPL
     _PACK_IMPL = impl
@@ -83,7 +113,7 @@ def pack_lowering(impl: str):
 def _use_conv_pack(dtype, C: int) -> bool:
     if _PACK_IMPL == "conv":
         return True
-    if _PACK_IMPL == "reshape":
+    if _PACK_IMPL in ("reshape", "slice"):
         return False
     return jnp.issubdtype(dtype, jnp.floating) and C >= _PACK_CONV_MIN_C
 
@@ -135,6 +165,21 @@ def pack_nhwc(x, align=(0, 0)):
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+    if _PACK_IMPL == "slice":
+        # four strided phase slices + channel concat (rank-4 ops only).
+        # MEASURED ON CHIP r4 and REJECTED: infer 6.92 vs 6.41 ms/step,
+        # train 27.48 vs 20.4 (the strided-slice backwards land on the
+        # interior-padding path).  Kept behind TCCT_PACK_IMPL=slice as the
+        # measured record; default stays 'reshape'.
+        return jnp.concatenate(
+            [
+                x[:, 0::2, 0::2],
+                x[:, 0::2, 1::2],
+                x[:, 1::2, 0::2],
+                x[:, 1::2, 1::2],
+            ],
+            axis=-1,
+        )
     x = x.reshape(B, H // 2, 2, W // 2, 2, C)
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
 
@@ -154,6 +199,12 @@ def unpack_nhwc(xp, align: Tuple[int, int] = (0, 0)):
             lhs_dilation=(2, 2),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+    elif _PACK_IMPL == "slice":
+        # two axis-interleave stacks on rank-4 channel slices (5-D peak
+        # rank instead of the 6-D reshape+transpose form)
+        r = jnp.stack([xp[..., : 2 * C], xp[..., 2 * C :]], axis=2)
+        r = r.reshape(B, 2 * h, w, 2 * C)  # rows interleaved, (px, c) chans
+        x = jnp.stack([r[..., :C], r[..., C:]], axis=3).reshape(B, 2 * h, 2 * w, C)
     else:
         x = xp.reshape(B, h, w, 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
         x = x.reshape(B, 2 * h, 2 * w, C)
@@ -314,10 +365,20 @@ def packed_conv(xp, W_fine, bias=None, in_align=(0, 0), out_align=(0, 0)):
 
 def packed_maxpool2(xp):
     """Fine 2x2/2 maxpool == max over the 4 phase groups; returns the
-    UNPACKED pooled map (which is at the packed spatial resolution)."""
+    UNPACKED pooled map (which is at the packed spatial resolution).
+
+    Default 'reshape' ([B,h,w,4,C] + reduce_max) — measured fastest on
+    chip; the 'slices' channel-slice max tree lost 0.76 ms/step (see the
+    _POOL_IMPL note above).  Tie-gradient routing differs between the
+    forms only on exact ties (measure-zero post-activation)."""
     B, h, w, C4 = xp.shape
     C = C4 // 4
-    return jnp.max(xp.reshape(B, h, w, 4, C), axis=3)
+    if _POOL_IMPL == "reshape":
+        return jnp.max(xp.reshape(B, h, w, 4, C), axis=3)
+    return jnp.maximum(
+        jnp.maximum(xp[..., :C], xp[..., C : 2 * C]),
+        jnp.maximum(xp[..., 2 * C : 3 * C], xp[..., 3 * C :]),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -401,12 +462,22 @@ def _bn_train_packed(
     # (see models/layers.py::BatchNorm)
     xm = mask_phantoms(xp, align)
     n = B * 2 * (h - align[0]) * 2 * (w - align[1])
-    xg = xm.reshape(B, h, w, 4, C)
-    mean = jnp.sum(xg.astype(jnp.float32), axis=(0, 1, 2, 3)) / n
-    var = (
-        jnp.sum(xg.astype(jnp.float32) * xg.astype(jnp.float32), axis=(0, 1, 2, 3)) / n
-        - mean * mean
-    )
+    # 'vector': reduce to a per-PACKED-channel [4C] vector first, then
+    # fold the 4 phase groups on the tiny vector — same element set as
+    # fine-channel (B,H,W) statistics, reassociated.  Measured a wash vs
+    # the [..,4,C] 'reshape' form on chip (see the _STAT_IMPL note).
+    if _STAT_IMPL == "reshape":
+        xg = xm.reshape(B, h, w, 4, C)
+        mean = jnp.sum(xg.astype(jnp.float32), axis=(0, 1, 2, 3)) / n
+        var = (
+            jnp.sum(xg.astype(jnp.float32) * xg.astype(jnp.float32), axis=(0, 1, 2, 3)) / n
+            - mean * mean
+        )
+    else:
+        s1 = jnp.sum(xm.astype(jnp.float32), axis=(0, 1, 2))
+        s2 = jnp.sum(jnp.square(xm.astype(jnp.float32)), axis=(0, 1, 2))
+        mean = jnp.sum(s1.reshape(4, C), axis=0) / n
+        var = jnp.sum(s2.reshape(4, C), axis=0) / n - mean * mean
     inv = bn["scale"] / jnp.sqrt(var + eps)
     y = xp * tile4(inv).astype(xp.dtype) + tile4(bn["bias"] - mean * inv).astype(xp.dtype)
     new_stats = {

@@ -275,3 +275,33 @@ def test_conv_pack_lowering_exact(C, align):
     assert jnp.array_equal(g("reshape"), g("conv"))
     xu = jnp.asarray(rng.integers(0, 255, (2, 8, 8, C), dtype=np.uint8))
     assert pack_nhwc(xu).dtype == jnp.uint8  # auto keeps u8 on reshape
+
+
+@pytest.mark.parametrize("C,align", [(16, (0, 0)), (32, (1, 1)), (96, (1, 0))])
+def test_slice_pack_lowering_exact(C, align):
+    """The strided-slice/stack lowering of pack/unpack (round 4: rank-4/5
+    intermediates instead of the 6-D reshape form XLA relayouts around)
+    is bitwise-exact vs the reshape form — forward, roundtrip, grads, and
+    integer dtypes."""
+    from tcct_tpu.ops.packed_conv import pack_lowering
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 16, 12, C)).astype(np.float32))
+    for dt in (jnp.float32, jnp.bfloat16, jnp.uint8):
+        xd = (x * 50 + 128).astype(dt) if dt == jnp.uint8 else x.astype(dt)
+        with pack_lowering("reshape"):
+            ref = pack_nhwc(xd, align)
+            uref = unpack_nhwc(ref, align)
+        with pack_lowering("slice"):
+            got = pack_nhwc(xd, align)
+            ugot = unpack_nhwc(ref, align)
+        assert ref.shape == got.shape and jnp.array_equal(ref, got)
+        assert jnp.array_equal(uref, ugot)
+
+    def g(impl):
+        with pack_lowering(impl):
+            return jax.grad(
+                lambda x: jnp.sum(jnp.sin(unpack_nhwc(pack_nhwc(x, align), align)))
+            )(x)
+
+    assert jnp.array_equal(g("reshape"), g("slice"))

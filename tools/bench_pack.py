@@ -1,17 +1,23 @@
-"""A/B: conv-form pack/unpack (constant 0/1 permutation kernel on the
-MXU) vs the 6-D reshape+transpose form — full flagship train-epoch and
-serving comparisons (the forms are bitwise-exact, so this is purely a
-lowering choice; tests/test_packed_conv.py::test_conv_pack_lowering_exact).
+"""A/B the pack/unpack lowerings — 'reshape' (6-D reshape+transpose),
+'conv' (constant 0/1 permutation kernel on the MXU), 'slice' (strided
+phase slices + axis-interleave stacks, rank-4/5 intermediates) — full
+flagship train-epoch and serving comparisons.  The forms are
+bitwise-exact (tests/test_packed_conv.py::test_conv_pack_lowering_exact
+/ test_slice_pack_lowering_exact), so this is purely a lowering choice.
 
 Round-4 motivation: the train trace itemizes ~1.3 ms/step of XLA
 relayout copies around the reshape form's 6-D intermediates
 ([8,64,64,2,2,C]{5,4,3,0,2,1:T(2,128)} chains at every level boundary).
+Conv form: measured, training LOSES 29.17 vs 19.69 (dilated-conv path).
 
-Run from the repo root on the real TPU: python tools/bench_pack.py
+Run from the repo root on the real TPU:
+    python tools/bench_pack.py [impl ...]     # default: reshape slice
 (arms nothing permanently — toggles ops.packed_conv.pack_lowering).
 """
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+IMPLS = tuple(sys.argv[1:]) or ("reshape", "slice")
 
 import jax
 import jax.numpy as jnp
@@ -48,7 +54,7 @@ def epoch_ab():
     labs = jnp.asarray(rng.integers(0, n_class, (24, 300, 512)).astype(np.uint8))
     idx = jnp.asarray(rng.integers(0, 24, (24, bs)))
 
-    for impl in ("reshape", "conv"):
+    for impl in IMPLS:
         with pack_lowering(impl):
             state = create_train_state(model, opt, jax.random.PRNGKey(0),
                                        jnp.zeros((1, hw[0], hw[1], 3)),
@@ -78,7 +84,7 @@ def infer_ab():
     x = jnp.ones((bs, 256, 256, 3), jnp.float32)
     variables = jax.jit(lambda: net.init({"params": jax.random.PRNGKey(0)}, x, train=False))()
     v = cast_floating(variables, jnp.bfloat16)
-    for impl in ("reshape", "conv"):
+    for impl in IMPLS:
         with pack_lowering(impl):
             def step(x):
                 pyr, _ = ftc_forward_packed(net, v, x.astype(jnp.bfloat16))

@@ -3,7 +3,10 @@ top-op tables — the tensorboard-free profile reader used to find the
 conv-utilisation bottleneck (see README perf notes).
 
 Usage:
-    python tools/summarize_profile.py /tmp/jaxtrace
+    python tools/summarize_profile.py /tmp/jaxtrace [category]
+With a category substring (e.g. "data formatting"), also prints every op
+in that category sorted by self time — the drill-down used for the
+round-4 layout-copy itemization.
 (needs PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python for the bundled
 xprof protos; set automatically.)
 """
@@ -17,7 +20,7 @@ import sys
 os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 
-def main(trace_dir: str, top: int = 15):
+def main(trace_dir: str, category: str = "", top: int = 15):
     from xprof.convert import raw_to_tool_data as rtd
 
     paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True))
@@ -41,6 +44,7 @@ def main(trace_dir: str, top: int = 15):
 
     print(f"\ntop {top} ops by self time:")
     rows.sort(key=lambda r: -(r[I["Total self time (us)"]] or 0))
+    name_col = "HLO op name" if "HLO op name" in I else "Framework op name"
     for r in rows[:top]:
         print(
             f"  {r[I['Total self time (us)']]/1e3:7.2f} ms"
@@ -49,6 +53,23 @@ def main(trace_dir: str, top: int = 15):
             f"  {str(r[I['Framework op name']])[:90]}"
         )
 
+    if category:
+        print(f"\nall ops in categories matching {category!r}:")
+        for r in rows:
+            if category.lower() not in str(r[I["HLO op category"]]).lower():
+                continue
+            t = r[I["Total self time (us)"]] or 0
+            if t < 1:
+                continue
+            print(
+                f"  {t/1e3:7.2f} ms  {str(r[I['HLO op category']])[:16]:<16}"
+                f"  {str(r[I[name_col]])[:60]:<60}"
+                f"  {str(r[I['Framework op name']])[:80]}"
+            )
+
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/jaxtrace")
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/tmp/jaxtrace",
+        sys.argv[2] if len(sys.argv) > 2 else "",
+    )

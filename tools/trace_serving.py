@@ -1,0 +1,131 @@
+"""Serving-bucket roofline (VERDICT r3 item 5): trace the bucketed
+volume predictor for a geometry and report %-of-attainable next to the
+256^2 headline — specifically the GOALS native bucket (608x512, the
+reference's actual working resolution, task1/data/octnpy.py:84).
+
+For each requested db: chained-dependency device timing (the axon relay
+dedups independent identical dispatches), compiled-HLO FLOPs, a
+jax.profiler trace -> measured HBM bytes + per-category self time, and
+attainable = max(FLOP time at peak MXU, HBM time at peak BW).
+
+Run on the real TPU from the repo root:
+    python tools/trace_serving.py [db ...]       # default: goals duke
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import V5E_PEAK_BW, V5E_PEAK_FLOPS
+
+CKPTS = {
+    "goals": "/root/reference/task1/onnx/tcct_goals.pt",
+    "hcms": "/root/reference/task1/onnx/tcct_hcms.pt",
+    "heg": "/root/reference/task1/onnx/tcct_heg.pt",
+    "duke": "/root/reference/task1/onnx/tcct_duke.pt",
+}
+
+
+def trace_bucket(db: str, bs: int = 8, iters: int = 20):
+    from tcct_tpu.data.eyeset import synthesize_oct
+    from tcct_tpu.data.geometry import GEOMETRY
+    from tcct_tpu.infer.predictor import load_predictor
+    from tcct_tpu.utils.profiling import measured_traffic
+
+    geo = GEOMETRY[db]
+    pt = CKPTS.get(db)
+    pt = pt if pt and os.path.exists(pt) else None
+    t0 = time.time()
+    pred = load_predictor(db, pt_path=pt, batch_size=bs)
+    init_s = time.time() - t0
+    vol, _ = synthesize_oct(geo, bs, seed=1)
+    fwd = pred._fwd
+
+    @jax.jit
+    def chained(variables, x_u8, prev_seg):
+        tok = (jnp.max(prev_seg) * 0).astype(jnp.uint8)
+        return fwd(variables, x_u8 + tok)
+
+    x = jnp.asarray(vol[:bs])
+    t0 = time.time()
+    s = chained(pred.variables, x, jnp.zeros((1,), jnp.uint8))
+    jax.block_until_ready(s)
+    compile_s = time.time() - t0
+    s = chained(pred.variables, x, s)
+    jax.block_until_ready(s)
+
+    windows = []
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            s = chained(pred.variables, x, s)
+        jax.block_until_ready(s)
+        windows.append((time.time() - t0) / iters)
+    dt = min(windows)
+
+    ca = chained.lower(pred.variables, x, s).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+
+    tdir = tempfile.mkdtemp(prefix=f"servtrace_{db}_")
+    try:
+        with jax.profiler.trace(tdir):
+            for _ in range(iters):
+                s = chained(pred.variables, x, s)
+            jax.block_until_ready(s)
+        m = measured_traffic(tdir)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
+    self_s = m["self_time_s"] / iters
+    hbm = m["hbm_bytes"] / iters
+    t_compute = flops / V5E_PEAK_FLOPS
+    t_hbm = hbm / V5E_PEAK_BW
+    attain = max(t_compute, t_hbm)
+    cats = {
+        k: round(v / iters * 1e3, 3)
+        for k, v in sorted(m["categories"].items(), key=lambda kv: -kv[1])[:8]
+    }
+    rec = {
+        "prep_hw": list(geo.prep_hw),
+        "bs": bs,
+        "device_ms_per_batch": round(dt * 1e3, 2),
+        "device_bscans_per_sec": round(bs / dt, 1),
+        "device_self_ms": round(self_s * 1e3, 2),
+        "gflop_per_batch": round(flops / 1e9, 1),
+        "hbm_mb_per_batch": round(hbm / 1e6, 1),
+        "attainable_ms": round(attain * 1e3, 2),
+        "pct_of_attainable": round(100.0 * attain / self_s, 1),
+        "bound": "HBM" if t_hbm > t_compute else "compute",
+        "compile_and_first_s": round(compile_s, 1),
+        "init_s": round(init_s, 1),
+        "top_categories_ms": cats,
+        "imported_ckpt": bool(pt),
+    }
+    print(f"{db} {geo.prep_hw}: {json.dumps(rec)}", flush=True)
+    return rec
+
+
+def main(dbs):
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+    out = {db: trace_bucket(db) for db in dbs}
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "SERVTRACE_r04.json")
+    with open(path, "w") as f:
+        json.dump({"timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+                   "buckets": out}, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["goals", "duke"])
