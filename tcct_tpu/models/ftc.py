@@ -37,15 +37,35 @@ class MPUpBlock(nn.Module):
     resolution), the upsample is emitted directly in the packed layout
     (ops/resize.py::resize_bilinear_2x_packed), the skip-add and the 1x1
     conv run packed, and the PACKED output is returned — the caller owns
-    the layout.  Exact reassociation of the plain path."""
+    the layout.  Exact reassociation of the plain path.
+
+    ``packed_x1``: x1 itself arrives PACKED ([B,h,w,4C]) from the packed
+    decoder chain (round 4): the prep conv / BN / act run on the packed
+    layout (full lanes, no per-conv pack round trip) and x1 is unpacked
+    only as the 2x-upsample input."""
 
     out_ch: int
 
     @nn.compact
-    def __call__(self, x1, x2=None, train: bool = False, packed_skip=None):
-        x1 = conv2d(self.out_ch, 3, 1, 1, name="prep_0")(x1)
-        x1 = batchnorm(name="prep_1")(x1, use_running_average=not train)
-        x1 = leaky_relu(x1)
+    def __call__(
+        self, x1, x2=None, train: bool = False, packed_skip=None,
+        packed_x1: bool = False,
+    ):
+        if packed_x1:
+            from tcct_tpu.models.layers import packed_io
+            from tcct_tpu.ops.packed_conv import unpack_nhwc
+
+            with packed_io():
+                x1 = conv2d(self.out_ch, 3, 1, 1, name="prep_0")(x1)
+            x1 = batchnorm(name="prep_1")(
+                x1, use_running_average=not train, packed=True
+            )
+            x1 = leaky_relu(x1)
+            x1 = unpack_nhwc(x1)
+        else:
+            x1 = conv2d(self.out_ch, 3, 1, 1, name="prep_0")(x1)
+            x1 = batchnorm(name="prep_1")(x1, use_running_average=not train)
+            x1 = leaky_relu(x1)
         if packed_skip is not None:
             from tcct_tpu.models.layers import packed_io
             from tcct_tpu.ops.resize import resize_bilinear_2x_packed
@@ -221,6 +241,7 @@ class FTC(nn.Module):
         cs = cnn_feats if cnn_feats is not None else self.base_cnn(x, train)
         split = lambda c: c if isinstance(c, tuple) else (c, None)
         (c1, c1pk), (c2, c2pk), (c3, _), (c4, _), (c5, _) = [split(c) for c in cs]
+        x2pk = None  # packed form of the level-0 fused map, when available
         if self.flag_vit and self.flag_cnn:
             from tcct_tpu.models.layers import packed_io, packing_active
             from tcct_tpu.ops.packed_conv import pack_nhwc, unpack_nhwc
@@ -252,7 +273,10 @@ class FTC(nn.Module):
                 b = getattr(self, "tran_cnn0_1")(
                     b, use_running_average=not train, packed=True
                 )
-                x2 = unpack_nhwc(a + b)
+                x2pk = a + b
+                # fine form for the gate-free consumers that still need it
+                # (feats in the infer variant) — DCE'd when unused
+                x2 = unpack_nhwc(x2pk)
             else:
                 x2 = gate(self._tran("tran_vit", 0, x2v, train), self._tran("tran_cnn", 0, c2, train), rngs[0], train)
             x3 = gate(self._tran("tran_vit", 1, x3v, train), self._tran("tran_cnn", 1, c3, train), rngs[1], train)
@@ -292,22 +316,63 @@ class FTC(nn.Module):
             return [out0, out1, out2, out4], feats
         y4 = self.dec1(y8, x4, train)
         y2 = self.dec2(y4, x3, train)
-        y1 = self.dec3(y2, x2, train)
-        if self.variant == "train":
-            from tcct_tpu.models.layers import packed_io, packing_active
 
-            if (
+        from tcct_tpu.models.layers import (
+            packed_heads_active,
+            packed_io,
+            packing_active,
+        )
+        from tcct_tpu.ops.packed_conv import pack_nhwc, unpack_nhwc
+
+        # round 4: chain the WHOLE 128^2 decoder level on the packed
+        # layout — dec3's upsample/add/1x1, dec4's prep conv/BN/act, the
+        # t32x projections and the aux heads all run packed.  The only
+        # fine materializations left at this level are dec4's upsample
+        # input and the n_class-channel head outputs (cheap).  Removes
+        # the per-conv pack/unpack round trips the round-4 train trace
+        # itemized as ~4.5 ms/step of XLA relayout copies.  Exact
+        # reassociation of the plain path.
+        chain = (
+            (packing_active() or c1pk is not None or c2pk is not None)
+            and x2.shape[1] % 2 == 0
+            and x2.shape[2] % 2 == 0
+            and y2.shape[1] * 2 == x2.shape[1]
+            and y2.shape[2] * 2 == x2.shape[2]
+            and x1.shape[1] == 2 * x2.shape[1]
+            and x1.shape[2] == 2 * x2.shape[2]
+        )
+        y1pk = None
+        if chain:
+            if x2pk is None:
+                x2pk = pack_nhwc(x2)
+            y1pk = self.dec3(y2, None, train, packed_skip=x2pk)
+            y1 = unpack_nhwc(y1pk)  # feats only — DCE'd when unused
+        else:
+            y1 = self.dec3(y2, x2, train)
+
+        if self.variant == "train":
+            if chain:
+                x1pk = c1pk if c1pk is not None else pack_nhwc(x1)
+                y0pk = self.dec4(
+                    y1pk, None, train, packed_skip=x1pk, packed_x1=True
+                )
+                with packed_io():
+                    y0pk = self.t324(x1pk + y0pk)
+                    out0pk = self.aux0(y0pk)
+                    y1p_pk = self.t323(x2pk + y1pk)
+                    out1pk = self.aux1(y1p_pk)
+                y0 = unpack_nhwc(y0pk)
+                y1p = unpack_nhwc(y1p_pk)  # feats only — DCE'd when unused
+                out0_packed = out0pk
+                out1 = resize_bilinear(
+                    unpack_nhwc(out1pk), size, align_corners=False
+                )
+            elif (
                 packing_active()
                 and x1.shape[1] % 2 == 0
                 and x1.shape[2] % 2 == 0
             ):
-                # full-resolution tail on the packed layout end-to-end:
-                # the skip arrives packed from the CNN branch (or is
-                # packed once here), zero intermediate round trips (the
-                # fine 32-channel layout uses 1/4 of the VPU/MXU lanes
-                # and dominates the train step's HBM time)
-                from tcct_tpu.ops.packed_conv import pack_nhwc, unpack_nhwc
-
+                # dec4-only packed tail (x2 level has odd dims)
                 x1pk = c1pk if c1pk is not None else pack_nhwc(x1)
                 y0pk = self.dec4(y1, None, train, packed_skip=x1pk)
                 with packed_io():
@@ -315,18 +380,18 @@ class FTC(nn.Module):
                     out0pk = self.aux0(y0pk)
                 y0 = unpack_nhwc(y0pk)
                 out0_packed = out0pk
+                y1p = self.t323(x2 + y1)
+                out1 = resize_bilinear(self.aux1(y1p), size, align_corners=False)
             else:
                 y0 = self.dec4(y1, x1, train)
                 y0 = self.t324(x1 + y0)
                 out0_packed = None
-            y1p = self.t323(x2 + y1)
+                y1p = self.t323(x2 + y1)
+                out1 = resize_bilinear(self.aux1(y1p), size, align_corners=False)
             y2p = self.t322(x3 + y2)
             y4p = self.t321(x4 + y4)
             feats = [norm_add([y0, y1p, y2p])]
             if out0_packed is not None:
-                from tcct_tpu.models.layers import packed_heads_active
-                from tcct_tpu.ops.packed_conv import unpack_nhwc
-
                 if packed_heads_active():
                     # the packed-aware DS loss owns the layout; the fine
                     # unpack (and its backward re-pack) never materializes
@@ -335,14 +400,23 @@ class FTC(nn.Module):
                     out0 = unpack_nhwc(out0_packed)
             else:
                 out0 = self.aux0(y0)
-            out1 = resize_bilinear(self.aux1(y1p), size, align_corners=False)
             out2 = resize_bilinear(self.aux2(y2p), size, align_corners=False)
             out4 = resize_bilinear(self.aux4(y4p), size, align_corners=False)
         else:
-            from tcct_tpu.models.layers import packed_heads_active, packed_io
-            from tcct_tpu.ops.packed_conv import unpack_nhwc
-
-            if c1pk is not None and y1.shape[1:3] == c1pk.shape[1:3]:
+            if chain:
+                x1pk = c1pk if c1pk is not None else pack_nhwc(c1)
+                y0pk = self.dec4(
+                    y1pk, None, train, packed_skip=x1pk, packed_x1=True
+                )
+                with packed_io():
+                    out0pk = self.aux0(y0pk)
+                    out1pk = self.aux1(y1pk)
+                y0 = unpack_nhwc(y0pk)  # feats only — DCE'd when unused
+                out0 = out0pk if packed_heads_active() else unpack_nhwc(out0pk)
+                out1 = resize_bilinear(
+                    unpack_nhwc(out1pk), size, align_corners=False
+                )
+            elif c1pk is not None and y1.shape[1:3] == c1pk.shape[1:3]:
                 # serving fast path: the skip arrives packed from
                 # cross_resnet_packed — run dec4's upsample/add/1x1 and
                 # aux0 on the packed layout (the fine full-res tail is
@@ -352,11 +426,12 @@ class FTC(nn.Module):
                     out0pk = self.aux0(y0pk)
                 y0 = unpack_nhwc(y0pk)  # feats only — DCE'd when unused
                 out0 = out0pk if packed_heads_active() else unpack_nhwc(out0pk)
+                out1 = resize_bilinear(self.aux1(y1), size, align_corners=False)
             else:
                 y0 = self.dec4(y1, c1, train)
                 out0 = self.aux0(y0)
+                out1 = resize_bilinear(self.aux1(y1), size, align_corners=False)
             feats = [norm_add([x1, x2, x3, y0, y1, y2])]
-            out1 = resize_bilinear(self.aux1(y1), size, align_corners=False)
             out2 = resize_bilinear(self.aux2(y2), size, align_corners=False)
             out4 = resize_bilinear(self.aux4(y4), size, align_corners=False)
         return [out0, out1, out2, out4], feats
