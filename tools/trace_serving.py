@@ -50,63 +50,93 @@ def trace_bucket(db: str, bs: int = 8, iters: int = 20):
     vol, _ = synthesize_oct(geo, bs, seed=1)
     fwd = pred._fwd
 
+    # chain through an EVOLVING roll of the input (the axon relay
+    # content-hashes dispatches: a constant or 2-cycle input makes calls
+    # identical and the relay dedups/caches them — wall time then reads
+    # ~100x faster than physics).  Rolling by a seg-dependent offset makes
+    # every call's input unique AND data-dependent on the previous output.
     @jax.jit
-    def chained(variables, x_u8, prev_seg):
-        tok = (jnp.max(prev_seg) * 0).astype(jnp.uint8)
-        return fwd(variables, x_u8 + tok)
+    def chained(variables, x_u8, tok, prev_seg):
+        seg = fwd(variables, jnp.roll(x_u8, tok.astype(jnp.int32), axis=2))
+        tok = tok + jnp.max(prev_seg).astype(jnp.uint32) + 1
+        return tok, seg
 
     x = jnp.asarray(vol[:bs])
+    tok = jnp.zeros((), jnp.uint32)
     t0 = time.time()
-    s = chained(pred.variables, x, jnp.zeros((1,), jnp.uint8))
+    tok, s = chained(pred.variables, x, tok, jnp.zeros((1,), jnp.uint8))
     jax.block_until_ready(s)
     compile_s = time.time() - t0
-    s = chained(pred.variables, x, s)
+    tok, s = chained(pred.variables, x, tok, s)
     jax.block_until_ready(s)
 
+    # end each window with a HOST READ of a reduction over the final
+    # output: on some buckets the relay's block_until_ready returns
+    # before the chain has actually executed (goals 608x512 read 0.23
+    # ms/batch "wall" vs 33 ms trace-verified device self) — 4 real
+    # bytes on the host cannot be spoofed
+    int(jnp.max(s))
     windows = []
     for _ in range(3):
         t0 = time.time()
         for _ in range(iters):
-            s = chained(pred.variables, x, s)
-        jax.block_until_ready(s)
+            tok, s = chained(pred.variables, x, tok, s)
+        _ = int(jnp.max(s)) + int(tok)
         windows.append((time.time() - t0) / iters)
     dt = min(windows)
 
-    ca = chained.lower(pred.variables, x, s).compile().cost_analysis()
+    ca = chained.lower(pred.variables, x, tok, s).compile().cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
     flops = float(ca.get("flops", 0.0))
 
-    tdir = tempfile.mkdtemp(prefix=f"servtrace_{db}_")
-    try:
-        with jax.profiler.trace(tdir):
-            for _ in range(iters):
-                s = chained(pred.variables, x, s)
-            jax.block_until_ready(s)
-        m = measured_traffic(tdir)
-    finally:
-        shutil.rmtree(tdir, ignore_errors=True)
+    # the axon profiler occasionally ABORTs mid-capture and returns an
+    # empty trace (self_time 0) — retry a few times before degrading to
+    # a timing-only record instead of crashing the whole sweep
+    m = None
+    for attempt in range(3):
+        tdir = tempfile.mkdtemp(prefix=f"servtrace_{db}_")
+        try:
+            with jax.profiler.trace(tdir):
+                for _ in range(iters):
+                    tok, s = chained(pred.variables, x, tok, s)
+                jax.block_until_ready(s)
+            cand = measured_traffic(tdir)
+        except Exception as e:
+            print(f"{db}: profiler attempt {attempt} failed: {e!r}",
+                  file=sys.stderr, flush=True)
+            cand = None
+        finally:
+            shutil.rmtree(tdir, ignore_errors=True)
+        if cand and cand.get("self_time_s", 0) > 0:
+            m = cand
+            break
+        time.sleep(10)
 
-    self_s = m["self_time_s"] / iters
-    hbm = m["hbm_bytes"] / iters
     t_compute = flops / V5E_PEAK_FLOPS
-    t_hbm = hbm / V5E_PEAK_BW
-    attain = max(t_compute, t_hbm)
-    cats = {
-        k: round(v / iters * 1e3, 3)
-        for k, v in sorted(m["categories"].items(), key=lambda kv: -kv[1])[:8]
-    }
+    if m is not None:
+        self_s = m["self_time_s"] / iters
+        hbm = m["hbm_bytes"] / iters
+        t_hbm = hbm / V5E_PEAK_BW
+        attain = max(t_compute, t_hbm)
+        cats = {
+            k: round(v / iters * 1e3, 3)
+            for k, v in sorted(m["categories"].items(), key=lambda kv: -kv[1])[:8]
+        }
+    else:  # profiler never produced a trace; keep the timing-only record
+        self_s = hbm = t_hbm = attain = None
+        cats = {}
     rec = {
         "prep_hw": list(geo.prep_hw),
         "bs": bs,
         "device_ms_per_batch": round(dt * 1e3, 2),
         "device_bscans_per_sec": round(bs / dt, 1),
-        "device_self_ms": round(self_s * 1e3, 2),
+        "device_self_ms": round(self_s * 1e3, 2) if self_s else None,
         "gflop_per_batch": round(flops / 1e9, 1),
-        "hbm_mb_per_batch": round(hbm / 1e6, 1),
-        "attainable_ms": round(attain * 1e3, 2),
-        "pct_of_attainable": round(100.0 * attain / self_s, 1),
-        "bound": "HBM" if t_hbm > t_compute else "compute",
+        "hbm_mb_per_batch": round(hbm / 1e6, 1) if hbm else None,
+        "attainable_ms": round(attain * 1e3, 2) if attain else None,
+        "pct_of_attainable": round(100.0 * attain / self_s, 1) if self_s else None,
+        "bound": ("HBM" if t_hbm > t_compute else "compute") if attain else None,
         "compile_and_first_s": round(compile_s, 1),
         "init_s": round(init_s, 1),
         "top_categories_ms": cats,

@@ -7,8 +7,9 @@ Runs short reference-style recipes through the real CLI, one at a time
 - stc_st / stc_sb / gtc_tb — the small/base width variants no test
   exercises at training scale (reference task1/nets/tcct.py:1050-1137);
 - cnnu / pnnu / vitu — the branch ablations;
-- stc_tt --mixer=factor — first trained run of the factorized-attention
-  mixer (functional here, dead code upstream, tcct.py:289-403).
+- stc_tt --mixer=factor / --mixer=hydra — first trained runs of the
+  factorized / hydra attention mixers (functional here, dead code
+  upstream, tcct.py:289-403).
 
 Resumable: a run whose metrics.jsonl already contains its final epoch is
 skipped, so the sweep can be re-fired across TPU outage windows.  Each
@@ -32,6 +33,7 @@ RUNS = [
     ("pnnu", "pnnu", 10, ["--ds=1"]),
     ("vitu", "vitu", 10, ["--ds=1"]),
     ("factor", "stc_tt", 20, ["--ds=1", "--udh=1", "--reg=1", "--mixer=factor"]),
+    ("hydra", "stc_tt", 20, ["--ds=1", "--udh=1", "--reg=1", "--mixer=hydra"]),
 ]
 
 
