@@ -65,12 +65,16 @@ def bench_inference(bs=8, hw=(256, 256), iters=30, dtype=None, cnn_impl="plain",
     jax.block_until_ready(y)
     # min over independent windows (each window chained internally): a
     # single tunnel hiccup otherwise contaminates the whole measurement
+    # each window ends with a 4-byte HOST READ of a reduction over the
+    # final output: on some programs the relay's block_until_ready
+    # returns before execution (goals-bucket predictor read 0.23 ms
+    # "wall" vs 33 ms trace-verified) — real host bytes can't be spoofed
     windows = []
     for _ in range(3):
         t0 = time.time()
         for _ in range(iters):
             y, logits = chained(y)
-        jax.block_until_ready(y)
+        _ = float(jnp.max(y))
         windows.append((time.time() - t0) / iters)
     dt = min(windows)
     log(f"  windows: {', '.join(f'{w*1e3:.2f}' for w in windows)} ms (min taken)")
@@ -126,7 +130,7 @@ def bench_train(bs=8, hw=(256, 256), iters=20):
         t0 = time.time()
         for _ in range(2):
             state, losses = epoch_fn(state, imgs, labs, idx)
-        jax.block_until_ready(losses)
+        _ = float(jnp.max(losses))  # host read: see bench_inference note
         windows.append((time.time() - t0) / (2 * steps_per_epoch))
     dt = min(windows)
     log(f"  train windows: {', '.join(f'{w*1e3:.2f}' for w in windows)} ms/step (min taken)")
