@@ -130,7 +130,8 @@ def bench_train(bs=8, hw=(256, 256), iters=20):
         t0 = time.time()
         for _ in range(2):
             state, losses = epoch_fn(state, imgs, labs, idx)
-        _ = float(jnp.max(losses))  # host read: see bench_inference note
+        # host read: see bench_inference note (losses is a metrics pytree)
+        _ = float(jnp.max(jax.tree_util.tree_leaves(losses)[0]))
         windows.append((time.time() - t0) / (2 * steps_per_epoch))
     dt = min(windows)
     log(f"  train windows: {', '.join(f'{w*1e3:.2f}' for w in windows)} ms/step (min taken)")
