@@ -227,6 +227,9 @@ def wait_for_tpu(budget_s=2700, poll_s=120, probe_timeout_s=300):
 
 
 def main():
+    from tcct_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()  # a 20-min remote-compile window can't kill the run twice
     wait_for_tpu()
     log(f"devices: {jax.devices()}")
     # headline: packed CNN branch + the MXU-lowered metapool (shift-adds +

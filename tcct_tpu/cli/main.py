@@ -88,6 +88,10 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+    from tcct_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()  # remote compiles become disk reads on reruns
+
     if os.environ.get("TCCT_COORDINATOR") or os.environ.get("TCCT_NUM_PROCESSES"):
         # multi-host launch (one process per host): bring up the
         # jax.distributed runtime before any device query so jax.devices()

@@ -142,6 +142,12 @@ def load_predictor(
     reference torch checkpoint (the tcct_{db}.pt files)."""
     from tcct_tpu.infer.importer import import_torch_checkpoint
     from tcct_tpu.models import RegNet, get_model
+    from tcct_tpu.utils.cache import enable_compile_cache
+
+    # warm cold starts across processes: the bucket program's remote
+    # compile (measured 23 s .. 6+ min) becomes a disk read on the
+    # second process (measured 5.5 s end-to-end)
+    enable_compile_cache()
 
     geo = get_geometry(db)
     model = RegNet(

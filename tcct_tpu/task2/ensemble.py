@@ -90,6 +90,10 @@ def main(argv=None):
     p.add_argument("--img_size", type=int, default=224)
     args = p.parse_args(argv)
 
+    from tcct_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     ds = (
         GoalClsSet.load(
             dataset_root=os.path.join(args.data_root, "Validation", "Image"),

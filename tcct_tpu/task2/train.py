@@ -227,6 +227,10 @@ def main(argv=None):
     p.add_argument("--bug", action="store_true")
     args = p.parse_args(argv)
 
+    from tcct_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     ds = None
     if args.data_root:
         ds = GoalClsSet.load(

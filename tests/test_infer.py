@@ -129,3 +129,25 @@ def test_export_torch_roundtrip():
     assert set(erep.missing) <= set(irep.skipped_source), erep.missing[:5]
     for k in erep.missing:
         np.testing.assert_array_equal(state[k], skeleton[k], err_msg=k)
+
+
+def test_enable_compile_cache_respects_existing_config():
+    """conftest already points jax at .jax_cache; the helper must not
+    clobber it (an existing setting wins), must be idempotent, and must
+    honor the TCCT_NO_COMPILE_CACHE opt-out."""
+    import os
+
+    import jax
+
+    from tcct_tpu.utils.cache import enable_compile_cache
+
+    before = jax.config.jax_compilation_cache_dir
+    assert before  # set by tests/conftest.py
+    got = enable_compile_cache("/tmp/should_not_be_used")
+    assert got == before
+    assert jax.config.jax_compilation_cache_dir == before
+    os.environ["TCCT_NO_COMPILE_CACHE"] = "1"
+    try:
+        assert enable_compile_cache() is None
+    finally:
+        del os.environ["TCCT_NO_COMPILE_CACHE"]
