@@ -294,7 +294,7 @@ def test_slice_pack_lowering_exact(C, align):
             uref = unpack_nhwc(ref, align)
         with pack_lowering("slice"):
             got = pack_nhwc(xd, align)
-            ugot = unpack_nhwc(ref, align)
+            ugot = unpack_nhwc(got, align)
         assert ref.shape == got.shape and jnp.array_equal(ref, got)
         assert jnp.array_equal(uref, ugot)
 
