@@ -9,6 +9,7 @@ Extra context (train-step throughput, compile times) goes to stderr so
 stdout stays a single JSON line.
 """
 
+import dataclasses
 import json
 import sys
 import time
@@ -44,25 +45,32 @@ def bench_inference(bs=8, hw=(256, 256), iters=30, dtype=None, cnn_impl="plain",
     log(f"init: {time.time()-t0:.1f}s")
 
     def step(x):
+        from tcct_tpu.models.layers import feats_gate
         from tcct_tpu.train.precision import cast_floating
 
         v = cast_floating(variables, dtype)
         xin = x.astype(dtype) if dtype else x
-        if cnn_impl == "packed":
-            from tcct_tpu.ops.packed_conv import ftc_forward_packed
+        # inference never reads the polarization feats — skip their chain
+        # at trace time (r5; see models/layers.py::feats_gate)
+        with feats_gate(False):
+            if cnn_impl == "packed":
+                from tcct_tpu.ops.packed_conv import ftc_forward_packed
 
-            pyr, _ = ftc_forward_packed(net, v, xin)
-        else:
-            pyr, _ = net.apply(v, xin, train=False)
+                pyr, _ = ftc_forward_packed(net, v, xin)
+            else:
+                pyr, _ = net.apply(v, xin, train=False)
         return x + jnp.mean(pyr[0].astype(jnp.float32)) * 1e-12, pyr[0]
 
     chained = jax.jit(step)
     t0 = time.time()
     y, logits = chained(x)
-    jax.block_until_ready(y)
+    # warmup ends with the same small HOST READ the timing windows use
+    # (block_until_ready can return before execution on some programs —
+    # a straggling warmup would otherwise bleed into window 1)
+    _ = float(jnp.max(y))
     log(f"forward compile+first: {time.time()-t0:.1f}s")
     y, _ = chained(y)
-    jax.block_until_ready(y)
+    _ = float(jnp.max(y))
     # min over independent windows (each window chained internally): a
     # single tunnel hiccup otherwise contaminates the whole measurement
     # each window ends with a 4-byte HOST READ of a reduction over the
@@ -121,7 +129,8 @@ def bench_train(bs=8, hw=(256, 256), iters=20):
     idx = jnp.asarray(rng.integers(0, 24, (steps_per_epoch, bs)))
     t0 = time.time()
     state, losses = epoch_fn(state, imgs, labs, idx)
-    jax.block_until_ready(losses)
+    # host-read warmup sync (see bench_inference note)
+    _ = float(jnp.max(jax.tree_util.tree_leaves(losses)[0]))
     log(f"train epoch compile+first: {time.time()-t0:.1f}s")
     # min over 2-epoch windows (48 chained steps each — dispatch
     # amortized inside the compiled scan; min de-noises tunnel hiccups)
@@ -140,13 +149,33 @@ def bench_train(bs=8, hw=(256, 256), iters=20):
     # one epoch, sum per-op measured HBM bytes (BW x self time — the HLO
     # cost-analysis 'bytes accessed' overcounts fusion reuse and proves
     # nothing), and report attainable = max(compute, HBM) vs achieved.
-    mfu_pct = attain = None
+    mfu_pct = mfu_useful_pct = attain = None
     try:
         ca = step.lower(state, imgs[:bs], labs[:bs]).compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
         mfu_pct = 100.0 * (flops / V5E_PEAK_FLOPS) / dt
+        # useful-FLOP MFU (VERDICT r4 weak 3): the packed rewrite executes
+        # ~2.3x structural-zero FLOPs on the CNN branch; the honest MFU an
+        # outside reader expects counts only the fine model's FLOPs.  Lower
+        # the SAME step unpacked and use its FLOP count as the numerator.
+        try:
+            fine_step = build_train_step(
+                model, opt, dataclasses.replace(cfg, packed_cnn=False)
+            )
+            ca_f = fine_step.lower(state, imgs[:bs], labs[:bs]).compile().cost_analysis()
+            if isinstance(ca_f, list):
+                ca_f = ca_f[0]
+            useful_flops = float(ca_f.get("flops", 0.0))
+            mfu_useful_pct = 100.0 * (useful_flops / V5E_PEAK_FLOPS) / dt
+            log(
+                f"FLOPs/step: executed {flops/1e9:.1f} G (packed, incl. "
+                f"structural zeros) vs useful {useful_flops/1e9:.1f} G (fine "
+                f"model); MFU {mfu_pct:.1f}% executed / {mfu_useful_pct:.1f}% useful"
+            )
+        except Exception as e:
+            log(f"useful-FLOP lowering failed: {e!r}")
         import shutil
         import tempfile
 
@@ -182,7 +211,7 @@ def bench_train(bs=8, hw=(256, 256), iters=20):
         attain = (attain, self_per_step)
     except Exception as e:
         log(f"measured roofline failed: {e!r}")
-    return bs / dt, dt, mfu_pct, attain
+    return bs / dt, dt, (mfu_pct, mfu_useful_pct), attain
 
 
 def wait_for_tpu(budget_s=2700, poll_s=120, probe_timeout_s=300):
@@ -259,7 +288,11 @@ def main():
     if train_tput is not None:
         out["train_bscans_per_sec"] = round(train_tput, 2)
     if train_mfu is not None:
-        out["train_mfu_pct"] = round(train_mfu, 1)
+        mfu_exec, mfu_useful = train_mfu
+        if mfu_exec is not None:
+            out["train_mfu_pct"] = round(mfu_exec, 1)
+        if mfu_useful is not None:
+            out["train_mfu_useful_pct"] = round(mfu_useful, 1)
     if train_attain is not None:
         attainable_s, self_s = train_attain
         out["train_attainable_ms"] = round(attainable_s * 1e3, 2)

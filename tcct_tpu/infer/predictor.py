@@ -49,7 +49,7 @@ class VolumePredictor:
             # uint8 in, normalize on device: host->device traffic is 4x
             # smaller than shipping f32 (this tunnel environment is
             # transfer-bound; real hosts still save PCIe bandwidth)
-            from tcct_tpu.models.layers import packed_heads
+            from tcct_tpu.models.layers import feats_gate, packed_heads
 
             variables = cast_floating(variables, self.dtype)
             x = x_u8.astype(self.dtype or jnp.float32) / 255.0
@@ -74,7 +74,11 @@ class VolumePredictor:
                         "'fused_pallas' kernel lives in attic/crosscnn_fused.py "
                         "(measured 3-5x slower than the XLA conv fusions)"
                     )
-            with packed_heads(self.cnn_impl == "packed"):
+            # feats_gate(False): the predictor never reads the polarization
+            # feats; gating skips their whole chain at trace time (incl. a
+            # full-res unpack of the packed decoder output that the r5 HBM
+            # audit caught alive — XLA does not DCE it)
+            with packed_heads(self.cnn_impl == "packed"), feats_gate(False):
                 pyr, _ = self.model.apply(variables, x, train=False, **kw)
             logits = pyr[0] if isinstance(pyr, (list, tuple)) else pyr
             nc = self.geo.out_channels

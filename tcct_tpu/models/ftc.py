@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tcct_tpu.models.crosscnn import CrossResNet
-from tcct_tpu.models.layers import batchnorm, conv2d, leaky_relu
+from tcct_tpu.models.layers import batchnorm, conv2d, feats_wanted, leaky_relu
 from tcct_tpu.models.mpvit import MPViT, MPViTConfig
 from tcct_tpu.ops.resize import resize_bicubic, resize_bilinear
 
@@ -139,7 +139,18 @@ def simple_fusion(x1, x2, rng=None, train: bool = False):
 
 def norm_add(xs: List[jnp.ndarray]) -> jnp.ndarray:
     """L2-normalize each map over channels, resize to the first's spatial
-    size, average (reference tcct.py:937-942)."""
+    size, average (reference tcct.py:937-942).
+
+    Under ``layers.feats_gate(False)`` (set by the train step when the
+    polarization loss is off) this returns None at trace time: the r5 HBM
+    audit showed the feats chain — including a full-res unpack of the
+    packed decoder output that exists only to feed it — surviving in the
+    compiled step even though its value is unused (XLA did not DCE it
+    through the scan + jvp structure)."""
+    from tcct_tpu.models.layers import feats_wanted
+
+    if not feats_wanted():
+        return None
     eps = 1e-12
     xs = [x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps) for x in xs]
     size = xs[0].shape[1:3]
@@ -308,7 +319,11 @@ class FTC(nn.Module):
             y2 = self.dec2(y4, self.skip2(x3), train)
             y1 = self.dec3(y2, self.skip3(x2), train)
             y0 = self.dec4(y1, x1, train)
-            feats = [norm_add([x1, self.skip3(x2), self.skip2(x3), y0, y1, y2])]
+            feats = [
+                norm_add([x1, self.skip3(x2), self.skip2(x3), y0, y1, y2])
+                if feats_wanted()
+                else None
+            ]
             out0 = self.aux0(y0)
             out1 = resize_bilinear(self.aux1(y1), size, align_corners=False)
             out2 = resize_bilinear(self.aux2(y2), size, align_corners=False)
@@ -346,7 +361,9 @@ class FTC(nn.Module):
             if x2pk is None:
                 x2pk = pack_nhwc(x2)
             y1pk = self.dec3(y2, None, train, packed_skip=x2pk)
-            y1 = unpack_nhwc(y1pk)  # feats only — DCE'd when unused
+            # feats only; gated at trace time (the r5 audit caught these
+            # unpacks alive — XLA does not DCE through scan+jvp)
+            y1 = unpack_nhwc(y1pk) if feats_wanted() else None
         else:
             y1 = self.dec3(y2, x2, train)
 
@@ -361,8 +378,8 @@ class FTC(nn.Module):
                     out0pk = self.aux0(y0pk)
                     y1p_pk = self.t323(x2pk + y1pk)
                     out1pk = self.aux1(y1p_pk)
-                y0 = unpack_nhwc(y0pk)
-                y1p = unpack_nhwc(y1p_pk)  # feats only — DCE'd when unused
+                y0 = unpack_nhwc(y0pk) if feats_wanted() else None
+                y1p = unpack_nhwc(y1p_pk) if feats_wanted() else None  # feats only
                 out0_packed = out0pk
                 out1 = resize_bilinear(
                     unpack_nhwc(out1pk), size, align_corners=False
@@ -378,7 +395,7 @@ class FTC(nn.Module):
                 with packed_io():
                     y0pk = self.t324(x1pk + y0pk)
                     out0pk = self.aux0(y0pk)
-                y0 = unpack_nhwc(y0pk)
+                y0 = unpack_nhwc(y0pk) if feats_wanted() else None  # feats only
                 out0_packed = out0pk
                 y1p = self.t323(x2 + y1)
                 out1 = resize_bilinear(self.aux1(y1p), size, align_corners=False)
@@ -411,7 +428,7 @@ class FTC(nn.Module):
                 with packed_io():
                     out0pk = self.aux0(y0pk)
                     out1pk = self.aux1(y1pk)
-                y0 = unpack_nhwc(y0pk)  # feats only — DCE'd when unused
+                y0 = unpack_nhwc(y0pk) if feats_wanted() else None  # feats only
                 out0 = out0pk if packed_heads_active() else unpack_nhwc(out0pk)
                 out1 = resize_bilinear(
                     unpack_nhwc(out1pk), size, align_corners=False
@@ -424,7 +441,7 @@ class FTC(nn.Module):
                 y0pk = self.dec4(y1, None, train, packed_skip=c1pk)
                 with packed_io():
                     out0pk = self.aux0(y0pk)
-                y0 = unpack_nhwc(y0pk)  # feats only — DCE'd when unused
+                y0 = unpack_nhwc(y0pk) if feats_wanted() else None  # feats only
                 out0 = out0pk if packed_heads_active() else unpack_nhwc(out0pk)
                 out1 = resize_bilinear(self.aux1(y1), size, align_corners=False)
             else:

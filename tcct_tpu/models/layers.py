@@ -24,7 +24,24 @@ from flax import linen as nn
 # Activations matching torch defaults
 hardswish = jax.nn.hard_swish
 leaky_relu = lambda x: jax.nn.leaky_relu(x, negative_slope=0.01)
-gelu = lambda x: jax.nn.gelu(x, approximate=False)
+
+# GELU: exact (erf) in f32 to match torch bit-for-bit in the golden /
+# train-parity tests; in bf16 compute the tanh form is the DEFAULT —
+# its ~1e-3 relative error sits below bf16's own quantization (~4e-3)
+# while skipping the erfc VPU transcendental that the r5 HBM audit
+# measured at 6.8x its roofline floor (0.28 ms/step fwd alone).
+# Measured A/B (v5e, bs=8 256^2 train epoch-scan): 19.31 -> 18.60 ms/step
+# wall, 18.57 -> 17.81 ms device self.  TCCT_GELU_BF16=exact restores
+# the erf form in bf16 too.
+import os as _os
+
+_GELU_BF16 = _os.environ.get("TCCT_GELU_BF16", "tanh")  # tanh | exact
+
+
+def gelu(x):
+    if _GELU_BF16 == "tanh" and x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
+    return jax.nn.gelu(x, approximate=False)
 
 
 def conv_init(fan: str = "fan_out", scale: float = 2.0):
@@ -98,6 +115,30 @@ def packed_heads(enable: bool = True):
 
 def packed_heads_active() -> bool:
     return _PACKED_HEADS
+
+
+_WANT_FEATS = True
+
+
+@contextlib.contextmanager
+def feats_gate(want: bool = True):
+    """Trace-time switch: compute the polarization feats (norm_add) or
+    skip them entirely.  The train step sets this from cfg.udh — the r5
+    HBM audit caught the whole feats chain (L2 norms, bilinear resizes,
+    and a full-res unpack of the packed decoder output) alive in the
+    compiled step with the loss off; XLA did not DCE it through the
+    scan + jvp structure."""
+    global _WANT_FEATS
+    prev = _WANT_FEATS
+    _WANT_FEATS = bool(want)
+    try:
+        yield
+    finally:
+        _WANT_FEATS = prev
+
+
+def feats_wanted() -> bool:
+    return _WANT_FEATS
 
 
 # ---------------------------------------------------------------------------

@@ -95,7 +95,10 @@ class ReLayNet(nn.Module):
         )
         prob = conv2d(self.out_channels, 1, 1, 0, name="classifier_conv")(d1)
 
+        from tcct_tpu.models.layers import feats_wanted
+
         e1u = resize_bilinear(e1, x.shape[1:3], align_corners=False)
+        # polarization feats, trace-time gated like FTC's (layers.feats_gate)
         feats = [
             norm_add(
                 [
@@ -107,5 +110,7 @@ class ReLayNet(nn.Module):
                     conv2d(32, 1, 1, 0, name="dran3")(d3),
                 ]
             )
+            if feats_wanted()
+            else None
         ]
         return [prob], feats

@@ -78,6 +78,28 @@ _PACK_CONV_MIN_C = 16
 _STAT_IMPL = os.environ.get("TCCT_PACK_STATS", "vector")  # vector | reshape
 _POOL_IMPL = os.environ.get("TCCT_PACK_POOL", "reshape")  # reshape | slices
 
+# r5 layout experiment: constrain packed-branch level outputs to the
+# standard NHWC tiled layout (minor-to-major {3,0,2,1}) via
+# jax.experimental.layout.with_layout_constraint — the r5 HBM audit
+# itemized ~0.7 ms/step of {1,3,0,2}<->{2,3,1,0}<->{3,0,2,1} flip-flop
+# copies around the 128^2 packed level in fwd+bwd.  The constraint is
+# differentiable (the cotangent gets the same pin).
+_PIN_LAYOUT = os.environ.get("TCCT_PIN_LAYOUT", "0") == "1"
+
+
+def set_pin_layout(enable: bool):
+    global _PIN_LAYOUT
+    _PIN_LAYOUT = bool(enable)
+
+
+def _pin(x):
+    if not _PIN_LAYOUT or x.ndim != 4:
+        return x
+    from jax.experimental.layout import Layout, with_layout_constraint
+
+    # major_to_minor (1,2,0,3) == XLA minor-to-major {3,0,2,1}
+    return with_layout_constraint(x, Layout((1, 2, 0, 3)))
+
 
 @contextlib.contextmanager
 def stat_pool_lowering(stats: str = None, pool: str = None):
@@ -396,7 +418,9 @@ def _lrelu(x):
 
 
 def _gelu(x):
-    return jax.nn.gelu(x, approximate=False)
+    from tcct_tpu.models.layers import gelu
+
+    return gelu(x)  # shared impl: exact in f32, TCCT_GELU_BF16-selectable in bf16
 
 
 STD = (0, 0)
@@ -537,7 +561,7 @@ def cross_resnet_packed_train(x, params: Dict, stats: Dict, return_packed: bool 
         y, ns = _packed_block_train(
             y, params[f"path_estan_{level}"], stats[f"path_estan_{level}"]
         )
-        y = y.astype(dt)
+        y = _pin(y.astype(dt))
         new_stats[f"path_estan_{level}"] = ns
         xs.append(unpack_nhwc(y))
         xs_pk.append(y)

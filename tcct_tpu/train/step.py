@@ -148,16 +148,18 @@ def build_loss_fn(model, cfg: TrainConfig) -> Callable:
         if cfg.remat:
             fwd = jax.checkpoint(fwd)
         from tcct_tpu.models.ftc import pinned_gate
-        from tcct_tpu.models.layers import packed_convs, packed_heads
+        from tcct_tpu.models.layers import feats_gate, packed_convs, packed_heads
         from tcct_tpu.ops.resize import resize_impl
 
         # trace-time lowering choices: gather-form resizes differentiate
         # much faster than the matmul form (see ops/resize.py); with
         # packed_cnn the small-channel decoder/aux convs also lower to the
-        # exact space-to-depth form (models/layers.py::MaybePackedConv)
+        # exact space-to-depth form (models/layers.py::MaybePackedConv);
+        # feats (norm_add) are only traced when the polarization loss
+        # consumes them (XLA does not DCE the chain through scan+jvp)
         with resize_impl("gather"), packed_convs(cfg.packed_cnn), packed_heads(
             cfg.packed_cnn
-        ), pinned_gate(cfg.pinned_gate_noise):
+        ), pinned_gate(cfg.pinned_gate_noise), feats_gate(cfg.udh):
             (pyr, feats, aux), updates = fwd(variables, img, true_oh)
         pyr = [to_f32(p) for p in pyr]
         aux = to_f32(aux)

@@ -28,6 +28,25 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy tier (long trajectories, multi-process) — skipped by "
+        "default on this 1-core container; run with TCCT_SLOW=1 or -m slow",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    # Default run = fast tier (<900 s budget, BACKLOG 'Test suite').
+    # TCCT_SLOW=1 or an explicit -m expression runs everything selected.
+    if os.environ.get("TCCT_SLOW") == "1" or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="slow tier (TCCT_SLOW=1 or -m slow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 

@@ -76,6 +76,7 @@ def _worker_main(rank: int, port: int):
     print(f"DIST_LOSS {loss:.8f}", flush=True)
 
 
+@pytest.mark.slow
 def test_two_process_dp_matches_single_process():
     # expected value on the in-process 8-device mesh (conftest env)
     from tcct_tpu.parallel import make_mesh

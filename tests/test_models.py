@@ -93,3 +93,44 @@ def test_max_unpool_roundtrip():
     # unpooled values live exactly at the argmax positions
     sel = np.asarray(up)[np.asarray(mask) > 0]
     np.testing.assert_allclose(np.sort(sel), np.sort(np.asarray(pooled).ravel()))
+
+
+def test_feats_gate_skips_feats_and_preserves_pyramid():
+    """r5: layers.feats_gate(False) drops the polarization-feats chain at
+    trace time (the HBM audit caught it alive when unused); the pyramid
+    must be bitwise unchanged and feats must come back None."""
+    from tcct_tpu.models.layers import feats_gate
+
+    model = get_model("stc_tt", 5)
+    x = jnp.linspace(0, 1, int(np.prod(SMALL))).reshape(SMALL).astype(jnp.float32)
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "gate": jax.random.PRNGKey(1)}, x, train=False
+    )
+    pyr_on, feats_on = model.apply(v, x, train=False)
+    with feats_gate(False):
+        pyr_off, feats_off = model.apply(v, x, train=False)
+    assert feats_on[0] is not None
+    assert feats_off[0] is None
+    for a, b in zip(pyr_on, pyr_off):
+        assert jnp.array_equal(a, b)
+
+
+def test_gelu_bf16_tanh_flag():
+    """r5: TCCT_GELU_BF16=tanh switches ONLY the bf16 compute path to the
+    tanh form (error below bf16 quantization); f32 stays exact-erf."""
+    from tcct_tpu.models import layers
+
+    x32 = jnp.linspace(-4, 4, 1001, dtype=jnp.float32)
+    x16 = x32.astype(jnp.bfloat16)
+    exact32 = jax.nn.gelu(x32, approximate=False)
+    prev = layers._GELU_BF16
+    try:
+        layers._GELU_BF16 = "tanh"
+        assert jnp.array_equal(layers.gelu(x32), exact32)  # f32 untouched
+        got16 = layers.gelu(x16).astype(jnp.float32)
+        assert np.max(np.abs(got16 - exact32)) < 2e-2  # within bf16 noise
+        layers._GELU_BF16 = "exact"
+        exact16 = jax.nn.gelu(x16, approximate=False)
+        assert jnp.array_equal(layers.gelu(x16), exact16)
+    finally:
+        layers._GELU_BF16 = prev

@@ -186,6 +186,7 @@ def test_packed_training_matches_plain():
     assert abs(losses[False][1] - losses[True][1]) < 1e-3
 
 
+@pytest.mark.slow
 def test_packed_training_drift_100_steps():
     """Long-horizon bound for making packed_cnn a safe default: 100 full
     optimizer steps (DS dice, AdamW, augmentation off, fixed batch) with

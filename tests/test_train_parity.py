@@ -125,6 +125,7 @@ def test_gradient_parity_step0(parity):
     assert checked > 280, checked  # every conv/bn/dense gradient covered
 
 
+@pytest.mark.slow
 def test_training_parity_50_steps(parity):
     _, g = parity
     net, cfg, opt, state, sd0, imgs, labs = _setup(parity)

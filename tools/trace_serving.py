@@ -94,8 +94,15 @@ def trace_bucket(db: str, bs: int = 8, iters: int = 20):
     # empty trace (self_time 0) — retry a few times before degrading to
     # a timing-only record instead of crashing the whole sweep
     m = None
+    keep = os.environ.get("TCCT_SERVTRACE_KEEP", "")  # db name -> keep its
+    #                        trace at /tmp/servtrace_keep_<db> for audits
     for attempt in range(3):
-        tdir = tempfile.mkdtemp(prefix=f"servtrace_{db}_")
+        if keep == db:
+            tdir = f"/tmp/servtrace_keep_{db}"
+            shutil.rmtree(tdir, ignore_errors=True)
+            os.makedirs(tdir)
+        else:
+            tdir = tempfile.mkdtemp(prefix=f"servtrace_{db}_")
         try:
             with jax.profiler.trace(tdir):
                 for _ in range(iters):
@@ -107,7 +114,8 @@ def trace_bucket(db: str, bs: int = 8, iters: int = 20):
                   file=sys.stderr, flush=True)
             cand = None
         finally:
-            shutil.rmtree(tdir, ignore_errors=True)
+            if keep != db:
+                shutil.rmtree(tdir, ignore_errors=True)
         if cand and cand.get("self_time_s", 0) > 0:
             m = cand
             break
@@ -150,7 +158,7 @@ def main(dbs):
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
     out = {db: trace_bucket(db) for db in dbs}
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "SERVTRACE_r04.json")
+                        os.environ.get("TCCT_SERVTRACE_OUT", "SERVTRACE_r05.json"))
     with open(path, "w") as f:
         json.dump({"timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
                    "buckets": out}, f, indent=1)
@@ -158,4 +166,4 @@ def main(dbs):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or ["goals", "duke"])
+    main(sys.argv[1:] or ["goals", "duke", "hcms", "heg", "odsgh"])
