@@ -44,21 +44,29 @@ def make_optimizer(
     clip_norm: float = 12.0,
     base_lr: float = 1e-6,
     max_lr: float = 1e-4,
+    flat: bool = False,
 ):
     """AdamW + per-epoch cyclic LR + grad-clip L2 norm 12, matching the
     reference recipe (loopback.py:126-128, loop_seg.py:128).  ``lr``
     overrides the schedule with a constant (the reference's --lr is in
-    practice superseded by the cyclic schedule after epoch 0)."""
+    practice superseded by the cyclic schedule after epoch 0).
+
+    ``flat=True`` wraps the chain in ``optax.flatten``: the r5 HBM audit
+    found the per-tensor update fragmented into ~600 tiny HLO ops/step
+    (288 adds at 44 GB/s + ~145 clip reduce_sums) — flattening runs the
+    whole chain on one concatenated vector.  Changes opt_state layout
+    (old checkpoints don't restore into a flat optimizer)."""
     if lr is not None:
         sched = lr
     else:
         sched = make_stepwise(
             lambda e: cyclic_lr(e, base_lr, max_lr), steps_per_epoch
         )
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.adamw(learning_rate=sched, weight_decay=weight_decay),
     )
+    return optax.flatten(tx) if flat else tx
 
 
 def create_train_state(model, optimizer, rng, sample_img, sample_true) -> TrainState:

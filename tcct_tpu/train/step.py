@@ -53,6 +53,11 @@ class TrainConfig:
     dtype: Any = jnp.float32
     remat: bool = False  # rematerialize the forward in backward (trade
     #                      FLOPs for HBM; useful for big crops / batches)
+    remat_policy: Optional[str] = None  # selective remat: with remat=True,
+    #                      a jax.checkpoint_policies name ('dots' =
+    #                      dots_with_no_batch_dims_saveable, 'dots_saveable',
+    #                      'nothing' = full recompute). None = save nothing
+    #                      (classic full remat). Measured A/Bs in BACKLOG.
     packed_cnn: bool = False  # space-to-depth CNN branch in training
     #                           (exact rewrite, phase-aware BN stats;
     #                           FTC models, crop divisible by 32)
@@ -146,7 +151,14 @@ def build_loss_fn(model, cfg: TrainConfig) -> Callable:
             return out, updates
 
         if cfg.remat:
-            fwd = jax.checkpoint(fwd)
+            if cfg.remat_policy in (None, "nothing"):
+                fwd = jax.checkpoint(fwd)
+            else:
+                pol = {
+                    "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    "dots_saveable": jax.checkpoint_policies.dots_saveable,
+                }[cfg.remat_policy]
+                fwd = jax.checkpoint(fwd, policy=pol)
         from tcct_tpu.models.ftc import pinned_gate
         from tcct_tpu.models.layers import feats_gate, packed_convs, packed_heads
         from tcct_tpu.ops.resize import resize_impl

@@ -111,3 +111,40 @@ def test_scan_epoch_logs_all_loss_terms(trainer):
     logs = trainer.train_epoch(epoch=2)
     for k in ("total", "los", "udh", "reg", "epl", "los_epoch"):
         assert k in logs and np.isfinite(logs[k]), k
+
+
+@pytest.mark.slow
+def test_flat_optimizer_and_remat_policy_match_plain():
+    """r5: optax.flatten'd optimizer (fused update — the HBM audit found
+    the per-tensor AdamW fragmented into ~600 tiny HLO ops/step) and
+    policy-based selective remat are trajectory-identical to the plain
+    step over two full optimizer steps."""
+    import numpy as np
+
+    from tcct_tpu.models import RegNet, get_model
+    from tcct_tpu.train import TrainConfig, build_train_step
+    from tcct_tpu.train.state import create_train_state, make_optimizer
+
+    model = RegNet(base=get_model("stc_tt", 5), out_channels=5)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8))
+    labs = jnp.asarray(rng.integers(0, 5, (2, 64, 64)).astype(np.uint8))
+    res = {}
+    for name, ckw, okw in [
+        ("plain", {}, {}),
+        ("flat", {}, {"flat": True}),
+        ("rdots", {"remat": True, "remat_policy": "dots"}, {}),
+    ]:
+        cfg = TrainConfig(n_class=5, crop_hw=(64, 64), ds=True, **ckw)
+        opt = make_optimizer(steps_per_epoch=4, **okw)
+        state = create_train_state(
+            model, opt, jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 5)),
+        )
+        step = build_train_step(model, opt, cfg)
+        s1, m1 = step(state, imgs, labs)
+        _, m2 = step(s1, imgs, labs)
+        res[name] = (float(m1["total"]), float(m2["total"]))
+    for name in ("flat", "rdots"):
+        assert abs(res["plain"][0] - res[name][0]) < 1e-5, (name, res)
+        assert abs(res["plain"][1] - res[name][1]) < 1e-4, (name, res)

@@ -44,6 +44,11 @@ VARIANTS = {
     "gelu+slice": dict(gelu="tanh", pack="slice"),
     "pin": dict(gelu="exact", pack="reshape", pin=True),
     "gelu+pin": dict(gelu="tanh", pack="reshape", pin=True),
+    # r5 second wave (gelu=tanh is the committed default; build on it)
+    "flatopt": dict(gelu="tanh", pack="reshape", flat=True),
+    "rdots": dict(gelu="tanh", pack="reshape", remat="dots"),
+    "rdots_save": dict(gelu="tanh", pack="reshape", remat="dots_saveable"),
+    "flatopt+rdots": dict(gelu="tanh", pack="reshape", flat=True, remat="dots"),
 }
 
 
@@ -110,14 +115,6 @@ def main(names):
     enable_compile_cache()
     bs, hw, n_class = 8, (256, 256), 5
     model = RegNet(base=get_model("stc_tt", n_class), out_channels=n_class)
-    cfg = TrainConfig(
-        n_class=n_class, crop_hw=hw, ds=True, dtype=jnp.bfloat16, packed_cnn=True
-    )
-    opt = make_optimizer(steps_per_epoch=100)
-    state = create_train_state(
-        model, opt, jax.random.PRNGKey(0),
-        jnp.zeros((1, hw[0], hw[1], 3)), jnp.zeros((1, hw[0], hw[1], n_class)),
-    )
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.integers(0, 255, (24, 300, 512, 3), dtype=np.uint8))
     labs = jnp.asarray(rng.integers(0, n_class, (24, 300, 512)).astype(np.uint8))
@@ -127,8 +124,24 @@ def main(names):
     results = {}
     from tcct_tpu.ops import packed_conv as pc
 
+    state_cache = {}
     for name in names:
         v = VARIANTS[name]
+        cfg = TrainConfig(
+            n_class=n_class, crop_hw=hw, ds=True, dtype=jnp.bfloat16,
+            packed_cnn=True, remat=bool(v.get("remat")),
+            remat_policy=v.get("remat"),
+        )
+        flat = v.get("flat", False)
+        if flat not in state_cache:
+            opt = make_optimizer(steps_per_epoch=100, flat=flat)
+            st0 = create_train_state(
+                model, opt, jax.random.PRNGKey(0),
+                jnp.zeros((1, hw[0], hw[1], 3)),
+                jnp.zeros((1, hw[0], hw[1], n_class)),
+            )
+            state_cache[flat] = (opt, st0)
+        opt, state = state_cache[flat]
         epoch_fn = build_train_epoch(model, opt, cfg)
         t0 = time.time()
         pc.set_pin_layout(v.get("pin", False))
