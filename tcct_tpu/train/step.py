@@ -267,6 +267,12 @@ def build_train_epoch(model, optimizer, cfg: TrainConfig, mesh=None) -> Callable
     inside the scan body, so the compute is data-parallel while the
     dataset/state stay replicated (grads psum'd by XLA)."""
     step = build_train_step(model, optimizer, cfg, jit=False, mesh=mesh)
+    # TCCT_EPOCH_UNROLL>1 unrolls the scan body (XLA may pipeline across
+    # step boundaries at the cost of program size) — an A/B knob for the
+    # per-op dispatch tax the r5 audit quantified (~1.3 us x ~3k ops/step)
+    import os
+
+    unroll = int(os.environ.get("TCCT_EPOCH_UNROLL", "1"))
 
     @jax.jit
     def train_epoch(state: TrainState, imgs_u8, labs_u8, idx_plan):
@@ -280,7 +286,7 @@ def build_train_epoch(model, optimizer, cfg: TrainConfig, mesh=None) -> Callable
             # (task1/kite/loop_seg.py:133)
             return st, metrics
 
-        state, metrics = jax.lax.scan(body, state, idx_plan)
+        state, metrics = jax.lax.scan(body, state, idx_plan, unroll=unroll)
         return state, metrics
 
     return train_epoch
