@@ -84,12 +84,15 @@ class VolumePredictor:
             nc = self.geo.out_channels
             if logits.ndim == 4 and logits.shape[-1] == 4 * nc and logits.shape[1] * 2 == x.shape[1]:
                 # main head still in the packed layout: argmax per phase
-                # group, then spatialize the CLASS MAP (uint8) — 1/4 the
-                # unpack traffic of fine logits
+                # group, ship the CLASS MAP (uint8) in its packed
+                # [B,h,w,py,px] order — 1/4 the unpack traffic of fine
+                # logits, and the phase interleave happens on the HOST
+                # (predict_scans): the device-side u8 transpose+reshape
+                # spatialize cost ~0.5 ms/batch of lane-starved copies in
+                # the duke serving trace (SERVTRACE_r05 itemization)
                 B, h, w, _ = logits.shape
                 cls = jnp.argmax(logits.reshape(B, h, w, 2, 2, nc), axis=-1)
-                cls = cls.astype(jnp.uint8).transpose(0, 1, 3, 2, 4)
-                return cls.reshape(B, 2 * h, 2 * w)
+                return cls.astype(jnp.uint8)
             return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
         self._fwd = _fwd
@@ -117,7 +120,14 @@ class VolumePredictor:
                 x = shard_batch(self.mesh, x)
             pending.append((i, j, self._fwd(self.variables, x)))
         for i, j, seg_dev in pending:
-            out[i:j] = np.asarray(seg_dev)[: j - i]
+            seg = np.asarray(seg_dev)
+            if seg.ndim == 5:
+                # packed class map [B,h,w,py,px]: spatialize on the host
+                # (fine[2y+py, 2x+px] = packed[y,x,py,px]) — a ~1 MB numpy
+                # reindex vs ~0.5 ms/batch of device u8 relayout copies
+                b, h, w = seg.shape[:3]
+                seg = seg.transpose(0, 1, 3, 2, 4).reshape(b, 2 * h, 2 * w)
+            out[i:j] = seg[: j - i]
         return out
 
     def predict_volume(

@@ -198,6 +198,22 @@ def resize_bilinear_2x_packed(x, align_corners: bool = True):
     tensors are the train step's main HBM cost; see
     models/layers.py::MaybePackedConv)."""
     B, H, W, C = x.shape
+    if _USE_MATMUL and H <= _MATMUL_RESIZE_MAX_IN and W <= _MATMUL_RESIZE_MAX_IN:
+        # inference lowering: per-phase rows of the same interpolation
+        # matrices the fine resize uses — each phase is one MXU matmul.
+        # The gather form below costs ~0.5 ms/batch of serial `take`s in
+        # the serving trace (duke 256x576 itemization, SERVTRACE_r05);
+        # the autodiff of this matmul form regresses the TRAIN backward
+        # (BACKLOG), so the train step keeps gathers via resize_impl.
+        mh = _linear_matrix(H, 2 * H, align_corners)
+        mw = _linear_matrix(W, 2 * W, align_corners)
+        rows = [_apply_axis_matrix(x, mh[py::2], 1) for py in (0, 1)]
+        outs = [
+            _apply_axis_matrix(rows[py], mw[px::2], 2)
+            for py in (0, 1)
+            for px in (0, 1)
+        ]
+        return jnp.concatenate(outs, axis=-1)
     i0, i1, w = _linear_coeffs(H, 2 * H, align_corners)
     rows = [_lerp_axis(x, i0[py::2], i1[py::2], w[py::2], 1) for py in (0, 1)]
     j0, j1, v = _linear_coeffs(W, 2 * W, align_corners)

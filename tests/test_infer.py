@@ -41,6 +41,30 @@ def test_volume_predictor_padding(small_net):
     np.testing.assert_array_equal(seg, pred1.predict_scans(vol))
 
 
+def test_packed_predictor_matches_plain():
+    """The serving configuration end-to-end: packed CNN branch + packed
+    argmax head + HOST-side phase spatialize vs the plain module path.
+    W=96 gives a duke-like non-128-aligned packed width."""
+    from tcct_tpu.data.geometry import DatasetGeometry
+
+    net = RegNet(base=get_model("stc_tt", 5, variant="infer"), out_channels=5)
+    x = jnp.zeros((1, 64, 96, 3))
+    v = net.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    geo = DatasetGeometry("tinyp", 5, 0, 64, "resize", (64, 96))
+    vol = np.random.default_rng(3).integers(0, 255, (5, 64, 96, 3), dtype=np.uint8)
+    plain = VolumePredictor(
+        net, v, geo, batch_size=4, dtype=jnp.float32, cnn_impl="plain"
+    ).predict_scans(vol)
+    packed = VolumePredictor(
+        net, v, geo, batch_size=4, dtype=jnp.float32, cnn_impl="packed"
+    ).predict_scans(vol)
+    assert packed.shape == (5, 64, 96) and packed.dtype == np.uint8
+    # packed conv is an exact reassociation; random-init logits still
+    # carry near-ties, so allow rare argmax flips.  A phase-ordering bug
+    # in the host spatialize would scramble 3/4 of all pixels.
+    assert (plain == packed).mean() > 0.95
+
+
 def test_predictor_bf16_matches_f32_argmax(small_net):
     from tcct_tpu.data.geometry import DatasetGeometry
 

@@ -109,6 +109,27 @@ def test_bn_train_packed_offset_stats_exact():
     np.testing.assert_allclose(np.asarray(ns["var"]), 0.9 + 0.1 * want_var, rtol=1e-4)
 
 
+def test_packed_2x_resize_both_lowerings_match_fine():
+    """resize_bilinear_2x_packed == pack_nhwc(resize_bilinear(2x)) under
+    BOTH trace-time lowerings (matmul = inference default, gather = the
+    train trace's form)."""
+    from tcct_tpu.ops.resize import (
+        resize_bilinear,
+        resize_bilinear_2x_packed,
+        resize_impl,
+    )
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 12, 20, 7)).astype(np.float32))
+    ref = pack_nhwc(resize_bilinear(x, (24, 40), align_corners=True))
+    with resize_impl("matmul"):
+        got_m = resize_bilinear_2x_packed(x, align_corners=True)
+    with resize_impl("gather"):
+        got_g = resize_bilinear_2x_packed(x, align_corners=True)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
 def test_packed_maxpool_exact():
     from tcct_tpu.ops.pool import max_pool_2d
 
