@@ -78,6 +78,19 @@ _PACK_CONV_MIN_C = 16
 _STAT_IMPL = os.environ.get("TCCT_PACK_STATS", "vector")  # vector | reshape
 _POOL_IMPL = os.environ.get("TCCT_PACK_POOL", "reshape")  # reshape | slices
 
+# r5 stretch (VERDICT item 7): fused act+BN-stats+normalize Pallas
+# epilogue for the packed train-mode BN sites (ops/pallas/bnstats.py).
+# Same HBM traffic as the XLA fragments it replaces.  MEASURED ON CHIP
+# and REJECTED (tools/bench_r5.py pbn: 25.54 vs 18.61 ms/step — the
+# pallas boundary breaks XLA's conv-epilogue fusion; BACKLOG.md); kept
+# gated for re-measurement on future stacks.
+_PALLAS_BN = os.environ.get("TCCT_PALLAS_BN", "0") == "1"
+
+
+def set_pallas_bn(enable: bool):
+    global _PALLAS_BN
+    _PALLAS_BN = bool(enable)
+
 # r5 layout experiment: constrain packed-branch level outputs to the
 # standard NHWC tiled layout (minor-to-major {3,0,2,1}) via
 # jax.experimental.layout.with_layout_constraint — the r5 HBM audit
@@ -511,6 +524,35 @@ def _bn_train_packed(
     return y, new_stats
 
 
+def _bn_act_train_packed(
+    xp,
+    bn: Dict,
+    stats: Dict,
+    align: Tuple[int, int] = (0, 0),
+    leaky: bool = False,
+    momentum: float = 0.9,
+    eps: float = 1e-5,
+):
+    """Train-mode (optional LeakyReLU +) BatchNorm on the packed layout.
+    Routes to the fused Pallas epilogue when armed (TCCT_PALLAS_BN=1 /
+    ``set_pallas_bn``), else to ``_lrelu`` + ``_bn_train_packed``."""
+    if _PALLAS_BN:
+        from tcct_tpu.ops.pallas.bnstats import bn_act_train_packed_pallas
+
+        out = bn_act_train_packed_pallas(
+            xp, bn["scale"], bn["bias"], align=align, leaky=leaky, eps=eps
+        )
+        if out is not None:
+            y, mean, var = out
+            new_stats = {
+                "mean": momentum * stats["mean"] + (1 - momentum) * mean,
+                "var": momentum * stats["var"] + (1 - momentum) * var,
+            }
+            return y, new_stats
+    src = _lrelu(xp) if leaky else xp
+    return _bn_train_packed(src, bn, stats, momentum, eps, align)
+
+
 def _packed_block_train(xp, params: Dict, stats: Dict):
     """Train-mode CrossCNNBlock on the packed layout, same
     alignment-alternating plan as ``_packed_block`` (std -> OFF -> std);
@@ -523,20 +565,22 @@ def _packed_block_train(xp, params: Dict, stats: Dict):
         return packed_conv(src, p["kernel"], p["bias"], in_align=ia, out_align=oa)
 
     def bn(name, src, align=STD):
-        y, ns = _bn_train_packed(src, params[name], stats[name], align=align)
+        y, ns = _bn_act_train_packed(
+            src, params[name], stats[name], align=align, leaky=True
+        )
         new_stats[name] = ns
         return y
 
     a = conv("block12_0", xp, STD, OFF).astype(dt)
     a = conv("block12_1", a, OFF, OFF).astype(dt)
-    a = bn("block12_3", _lrelu(a), OFF)
+    a = bn("block12_3", a, OFF)
     b = conv("block34_0", xp).astype(dt)
     b = conv("block34_1", b).astype(dt)
     b = conv("block34_2", b, STD, OFF).astype(dt)
-    b = bn("block34_4", _lrelu(b), OFF)
+    b = bn("block34_4", b, OFF)
     g = _gelu(a + b)
     y = conv("block5_0", g.astype(dt), OFF, STD).astype(dt)
-    return bn("block5_2", _lrelu(y)), new_stats
+    return bn("block5_2", y), new_stats
 
 
 def cross_resnet_packed_train(x, params: Dict, stats: Dict, return_packed: bool = False):
@@ -553,7 +597,7 @@ def cross_resnet_packed_train(x, params: Dict, stats: Dict, return_packed: bool 
     new_stats: Dict = {}
     xp = pack_nhwc(x)
     y = packed_conv(xp, params["cnn_0"]["kernel"].astype(dt), params["cnn_0"]["bias"]).astype(dt)
-    y, new_stats["cnn_1"] = _bn_train_packed(y, params["cnn_1"], stats["cnn_1"])
+    y, new_stats["cnn_1"] = _bn_act_train_packed(y, params["cnn_1"], stats["cnn_1"])
     y = y.astype(dt)
     xs: List[jnp.ndarray] = []
     xs_pk: List[jnp.ndarray] = []

@@ -49,6 +49,8 @@ VARIANTS = {
     "rdots": dict(gelu="tanh", pack="reshape", remat="dots"),
     "rdots_save": dict(gelu="tanh", pack="reshape", remat="dots_saveable"),
     "flatopt+rdots": dict(gelu="tanh", pack="reshape", flat=True, remat="dots"),
+    # r5 third wave: fused act+BN-stats Pallas epilogue (VERDICT item 7)
+    "pbn": dict(gelu="tanh", pack="reshape", pbn=True),
 }
 
 
@@ -145,11 +147,13 @@ def main(names):
         epoch_fn = build_train_epoch(model, opt, cfg)
         t0 = time.time()
         pc.set_pin_layout(v.get("pin", False))
+        pc.set_pallas_bn(v.get("pbn", False))
         try:
             with gelu_impl(v["gelu"]), pack_lowering(v["pack"]):
                 st, losses = epoch_fn(state, imgs, labs, idx)  # trace+compile here
         finally:
             pc.set_pin_layout(False)
+            pc.set_pallas_bn(False)
         _ = float(jnp.max(jax.tree_util.tree_leaves(losses)[0]))
         print(f"[{name}] compile+first: {time.time()-t0:.1f}s", flush=True)
         windows = []
