@@ -120,6 +120,7 @@ def test_bnstats_pallas_oversize_returns_none():
     assert bn_act_train_packed_pallas(x, jnp.ones(32), jnp.zeros(32)) is None
 
 
+@pytest.mark.slow
 def test_bnstats_pallas_in_train_forward():
     # armed via set_pallas_bn, the packed train forward + grads still
     # match the XLA lowering on a small CrossResNet subtree
